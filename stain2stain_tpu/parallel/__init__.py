@@ -1,0 +1,17 @@
+"""Mesh/sharding layer: the TPU-native replacement for DDP/NCCL."""
+
+from .mesh import (
+    batch_sharding,
+    create_mesh,
+    param_shardings,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "create_mesh",
+    "param_shardings",
+    "replicated_sharding",
+    "shard_batch",
+]

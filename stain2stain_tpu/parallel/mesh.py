@@ -1,0 +1,101 @@
+"""Device mesh + sharding layout for data-parallel (and beyond) training.
+
+This replaces the reference's Lightning-DDP/NCCL layer
+(/root/reference/configs/trainer/ddp.yaml:4-9, SURVEY.md §2.5) with the
+TPU-native equivalent: a ``jax.sharding.Mesh`` whose axes are
+
+- ``data``  — batch sharding (DP); gradient reduction becomes an XLA
+  all-reduce over ICI inserted automatically by jit's partitioner,
+- ``fsdp``  — optional parameter/optimizer sharding axis (ZeRO-style); with
+  size 1 params are fully replicated (reference parity: pure DP).
+
+Everything goes through ``jax.jit`` with ``NamedSharding`` annotations — no
+hand-written collectives; XLA chooses reduce-scatter/all-gather schedules.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    num_devices: Optional[int] = None,
+    fsdp: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """(data, fsdp) mesh over the available devices; fsdp=1 → pure DP."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % fsdp != 0:
+        raise ValueError(f"device count {n} not divisible by fsdp={fsdp}")
+    arr = np.asarray(devices).reshape(n // fsdp, fsdp)
+    return Mesh(arr, axis_names=("data", "fsdp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch axis sharded over every mesh axis (data × fsdp both split batch
+    when fsdp>1 keeps per-device batch equal; params are what fsdp shards)."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _fsdp_spec(path: tuple, leaf: Any, fsdp_size: int) -> P:
+    """Shard the largest dim of big weights over 'fsdp'; replicate the rest."""
+    shape = getattr(leaf, "shape", ())
+    if fsdp_size <= 1 or not shape or max(shape) < 1024:
+        return P()
+    axis = int(np.argmax(shape))
+    if shape[axis] % fsdp_size != 0:
+        return P()
+    spec = [None] * len(shape)
+    spec[axis] = "fsdp"
+    return P(*spec)
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """Per-leaf NamedShardings for a param/optimizer pytree."""
+    fsdp_size = mesh.shape["fsdp"]
+
+    def spec(path, leaf):
+        return NamedSharding(mesh, _fsdp_spec(path, leaf, fsdp_size))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place host-local numpy batch shards onto the mesh as global arrays.
+
+    Single-process: a plain device_put with the batch sharding. Multi-process:
+    assembles the global array from each host's local shard
+    (``make_array_from_process_local_data``), the per-host input pipeline
+    contract of SURVEY.md §2.5.
+    """
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            return x
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+__all__ = [
+    "create_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "param_shardings",
+    "shard_batch",
+]

@@ -1,0 +1,91 @@
+"""Train state + Orbax checkpoint I/O.
+
+Replaces Lightning's implicit module/optimizer state and .ckpt files
+(SURVEY.md §5 checkpoint/resume): one explicit pytree carrying params,
+mutable collections (e.g. batch_stats), optax state and the step counter,
+checkpointed with Orbax together with host-side harness state (epoch,
+scheduler, callback state, RNG) so resume is exact.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    extra_vars: Any  # non-param collections (batch_stats, ...), may be {}
+    opt_state: Any
+
+    @property
+    def variables(self) -> dict:
+        return {"params": self.params, **self.extra_vars}
+
+    @classmethod
+    def create(cls, variables: dict, tx) -> "TrainState":
+        import jax.numpy as jnp
+
+        variables = dict(variables)
+        params = variables.pop("params")
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            extra_vars=variables,
+            opt_state=tx.init(params),
+        )
+
+
+class CheckpointIO:
+    """Orbax-backed checkpoint directory manager.
+
+    Layout: ``<path>/state`` (Orbax pytree: TrainState) and
+    ``<path>/meta.json`` (epoch, global_step, host-side state dicts).
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def save(self, path: str | Path, state: TrainState, meta: dict) -> None:
+        path = Path(path).absolute()
+        path.mkdir(parents=True, exist_ok=True)
+        self._ckptr.save(path / "state", jax.device_get(state), force=True)
+        (path / "meta.json").write_text(json.dumps(_jsonable(meta), indent=2))
+
+    def restore(self, path: str | Path, target: Optional[TrainState] = None) -> tuple[TrainState, dict]:
+        path = Path(path).absolute()
+        if not (path / "state").exists():
+            raise FileNotFoundError(f"No checkpoint at {path}")
+        if target is not None:
+            restored = self._ckptr.restore(path / "state", item=jax.device_get(target))
+        else:
+            restored = self._ckptr.restore(path / "state")
+            restored = TrainState(**restored) if isinstance(restored, dict) else restored
+        meta_file = path / "meta.json"
+        meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+        return restored, meta
+
+
+def _jsonable(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, jax.Array):
+        return np.asarray(obj).tolist()
+    return obj
+
+
+__all__ = ["TrainState", "CheckpointIO"]

@@ -1,27 +1,42 @@
-"""Global test config: force an 8-device virtual CPU mesh before JAX inits.
+"""Global test config: platform selection + persistent compilation cache.
 
-The reference simulates multi-GPU DDP on CPU via ``ddp_spawn`` 2-process runs
-(/root/reference/tests/test_train.py:65-77, configs/trainer/ddp_sim.yaml). The
-idiomatic TPU-framework equivalent is XLA's virtual host devices: every test in
-this suite sees ``jax.device_count() == 8`` CPU devices, so mesh/pjit paths are
-exercised for real without TPU hardware.
+Multi-device strategy (the reference simulates DDP on 2 CPU processes,
+/root/reference/tests/test_train.py:65-77): the idiomatic TPU-framework
+equivalent is XLA virtual host devices. Set ``S2S_CPU_MESH=1`` to force an
+8-device virtual CPU platform for the mesh/sharding tests; by default tests
+run on whatever platform JAX picks (TPU on the dev box — the 1-vCPU dev
+machine makes the XLA *CPU* backend pathologically slow, so CPU-mesh runs are
+opt-in). Tests that need >1 device skip themselves when the platform has only
+one (see ``needs_multi_device``).
 """
 
 import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if os.environ.get("S2S_CPU_MESH"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 os.environ.setdefault("PROJECT_ROOT", str(REPO_ROOT))
 
+import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compilation cache makes repeated test runs cheap on TPU.
+_CACHE_DIR = REPO_ROOT / ".jax_compile_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+needs_multi_device = pytest.mark.skipif(
+    jax.device_count() < 2,
+    reason="requires >1 device (run with S2S_CPU_MESH=1 for an 8-device virtual CPU mesh)",
+)
 
 
 @pytest.fixture(scope="session")

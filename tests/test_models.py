@@ -1,0 +1,189 @@
+"""Shape/behavior tests for the model zoo (small configs for fast compiles)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stain2stain_tpu.models import (
+    SegmentationUNet,
+    SharedEncoder,
+    SimpleDenseNet,
+    FlowMatchingDecoder,
+    SegmentationDecoder,
+    TimeEmbedding,
+    UNet4to3,
+    UNetModel,
+)
+
+RNG = jax.random.key(0)
+
+
+def small_unet(**kw):
+    defaults = dict(
+        dim=(3, 32, 32),
+        num_channels=32,
+        num_res_blocks=1,
+        channel_mult=(1, 2),
+        attention_resolutions="16",  # ds = 32//16 = 2 → attention at level 1
+        num_heads=2,
+        num_head_channels=16,
+    )
+    defaults.update(kw)
+    return UNetModel(**defaults)
+
+
+def test_unet_forward_shape_and_zero_init():
+    net = small_unet()
+    x = jax.random.normal(RNG, (2, 32, 32, 3))
+    t = jnp.array([0.1, 0.9])
+    variables = net.init(RNG, t, x)
+    out = net.apply(variables, t, x)
+    assert out.shape == (2, 32, 32, 3)
+    # Final conv is zero-init → initial velocity is exactly 0 (ADM convention).
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_unet_attention_resolution_parsing():
+    net = small_unet()
+    assert net._attention_ds() == (2,)
+    net2 = small_unet(attention_resolutions=(1, 2))
+    assert net2._attention_ds() == (1, 2)
+    names = jax.tree_util.tree_leaves_with_path(
+        net.init(RNG, jnp.array([0.5, 0.5]), jnp.zeros((2, 32, 32, 3)))
+    )
+    joined = " ".join(jax.tree_util.keystr(p) for p, _ in names)
+    assert "down_1_attn_0" in joined and "mid_attn" in joined
+    assert "down_0_attn" not in joined  # no attention at ds=1
+
+
+def test_unet_class_conditional():
+    net = small_unet(class_cond=True, num_classes=3)
+    x = jnp.zeros((2, 32, 32, 3))
+    t = jnp.array([0.5, 0.5])
+    y = jnp.array([0, 2])
+    variables = net.init(RNG, t, x, y)
+    out = net.apply(variables, t, x, y)
+    assert out.shape == (2, 32, 32, 3)
+    with pytest.raises(ValueError):
+        net.apply(variables, t, x, None)
+
+
+def test_unet_scalar_t_broadcast():
+    net = small_unet()
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = net.init(RNG, jnp.array(0.5), x)
+    out = net.apply(variables, jnp.array(0.5), x)
+    assert out.shape == (2, 32, 32, 3)
+
+
+def test_unet_4ch_in_3ch_out():
+    net = small_unet(dim=(4, 32, 32), out_channels=3)
+    x = jnp.zeros((1, 32, 32, 4))
+    t = jnp.array([0.3])
+    variables = net.init(RNG, t, x)
+    assert net.apply(variables, t, x).shape == (1, 32, 32, 3)
+
+
+def test_unet_bf16_compute_f32_out():
+    net = small_unet(dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 32, 32, 3))
+    t = jnp.array([0.5])
+    variables = net.init(RNG, t, x)
+    out = net.apply(variables, t, x)
+    assert out.dtype == jnp.float32
+    # Params stay f32 (param_dtype default) for optimizer stability.
+    kernel = variables["params"]["conv_stem"]["kernel"]
+    assert kernel.dtype == jnp.float32
+
+
+def test_unet_dropout_requires_rng_in_train():
+    net = small_unet(dropout=0.5)
+    x = jnp.ones((2, 32, 32, 3))
+    t = jnp.array([0.5, 0.5])
+    variables = net.init(RNG, t, x)
+    out1 = net.apply(variables, t, x, train=True, rngs={"dropout": jax.random.key(1)})
+    out2 = net.apply(variables, t, x, train=True, rngs={"dropout": jax.random.key(2)})
+    # different dropout masks → different internal activations, but zero-init
+    # out conv keeps final output 0; check it at least runs deterministically
+    out3 = net.apply(variables, t, x, train=False)
+    assert out1.shape == out2.shape == out3.shape
+
+
+def test_unet_param_count_flagship_config_scale():
+    # Flagship config (configs/model/conditional_flow_matching.yaml:16-26):
+    # ADM UNet, ch=128, mult (1,2,2,4), 2 res-blocks, scale-shift norm. The
+    # analytic param count of that architecture is ~71M (down ~17M, middle
+    # ~11.5M w/ attention, up ~41.5M, embeddings/stem ~1M); verify our
+    # re-derivation lands there.
+    net = UNetModel(
+        dim=(3, 256, 256),
+        num_channels=128,
+        num_res_blocks=2,
+        channel_mult=(1, 2, 2, 4),
+        attention_resolutions="16,8",
+        num_heads=4,
+        num_head_channels=32,
+        use_scale_shift_norm=True,
+    )
+    variables = jax.eval_shape(
+        lambda: net.init(RNG, jnp.zeros((1,)), jnp.zeros((1, 256, 256, 3)))
+    )
+    n_params = sum(np.prod(v.shape) for v in jax.tree_util.tree_leaves(variables["params"]))
+    assert 60e6 < n_params < 85e6, f"param count {n_params/1e6:.1f}M out of expected range"
+
+
+# ------------------------------------------------------- multitask components
+def test_shared_encoder_and_decoders_roundtrip():
+    feats = (8, 16, 32)
+    enc = SharedEncoder(in_channels=3, features=feats)
+    x = jnp.zeros((2, 16, 16, 3))
+    variables = enc.init(RNG, x)
+    bottleneck, skips = enc.apply(variables, x)
+    assert bottleneck.shape == (2, 4, 4, 32)
+    assert [s.shape[-1] for s in skips] == [16, 8]  # deepest-first, no bottleneck
+
+    t_emb = TimeEmbedding(dim=32)(jnp.array([0.1, 0.7]))
+    assert t_emb.shape == (2, 32)
+
+    flow_dec = FlowMatchingDecoder(bottleneck_channels=32, features=(16, 8), out_channels=3, time_emb_dim=32)
+    fvars = flow_dec.init(RNG, bottleneck, skips, t_emb)
+    vel = flow_dec.apply(fvars, bottleneck, skips, t_emb)
+    assert vel.shape == (2, 16, 16, 3)
+
+    seg_dec = SegmentationDecoder(bottleneck_channels=32, features=(16, 8), out_channels=5)
+    svars = seg_dec.init(RNG, bottleneck, skips)
+    logits = seg_dec.apply(svars, bottleneck, skips)
+    assert logits.shape == (2, 16, 16, 5)
+
+
+def test_segmentation_unet_shape():
+    net = SegmentationUNet(features=(8, 16), out_channels=1)
+    x = jnp.zeros((1, 16, 16, 3))
+    variables = net.init(RNG, x)
+    assert net.apply(variables, x).shape == (1, 16, 16, 1)
+
+
+def test_simple_dense_net():
+    net = SimpleDenseNet(input_size=64, lin1_size=8, lin2_size=8, lin3_size=8, output_size=10)
+    x = jnp.zeros((4, 8, 8, 1))
+    variables = net.init(RNG, x)
+    assert net.apply(variables, x).shape == (4, 10)
+
+
+def test_unet4to3_wrapper():
+    net = UNet4to3(image_size=16, num_channels=16, num_res_blocks=1, channel_mult=(1, 2), attention_resolutions="")
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.array([0.5])
+    variables = net.init(RNG, t, x)
+    assert net.apply(variables, t, x).shape == (1, 16, 16, 3)
+
+
+def test_shared_encoder_batchnorm_mode():
+    enc = SharedEncoder(in_channels=3, features=(4, 8), norm="batch")
+    x = jnp.ones((2, 8, 8, 3))
+    variables = enc.init(RNG, x)
+    assert "batch_stats" in variables
+    (bottleneck, _), updates = enc.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert bottleneck.shape == (2, 4, 4, 8)
+    assert "batch_stats" in updates
