@@ -29,6 +29,36 @@ from .node import Config, MISSING
 _PACKAGE_RE = re.compile(r"^#\s*@package\s+(\S+)\s*$", re.MULTILINE)
 
 
+class _ConfigLoader(yaml.SafeLoader):
+    """SafeLoader with scientific-notation floats.
+
+    YAML 1.1 (PyYAML) treats ``1e-4`` as a *string* because the exponent form
+    requires a dot (``1.0e-4``); Hydra/OmegaConf accept it as float and the
+    reference configs rely on that (e.g. ``lr: 1e-4``). Same fix as the
+    well-known loader patch: re-register the float resolver with a regex that
+    covers dotless exponents.
+    """
+
+
+_ConfigLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
+def yaml_load(text: str) -> Any:
+    """yaml.safe_load with Hydra-compatible float parsing."""
+    return yaml.load(text, Loader=_ConfigLoader)
+
+
 class ComposeError(Exception):
     pass
 
@@ -46,7 +76,7 @@ class Overrides:
 def _parse_value(raw: str) -> Any:
     """Parse a CLI override value with YAML semantics (ints, bools, lists...)."""
     try:
-        return yaml.safe_load(raw)
+        return yaml_load(raw)
     except yaml.YAMLError:
         return raw
 
@@ -82,7 +112,7 @@ def _load_yaml(path: Path) -> tuple[dict, str | None]:
     text = path.read_text()
     m = _PACKAGE_RE.search(text)
     package = m.group(1) if m else None
-    body = yaml.safe_load(text)
+    body = yaml_load(text)
     if body is None:
         body = {}
     if not isinstance(body, dict):

@@ -43,6 +43,11 @@ class ConcatDataset(Dataset):
         self.datasets = list(datasets)
         self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
 
+    def set_epoch(self, epoch: int) -> None:
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
+
     def __len__(self) -> int:
         return int(self._offsets[-1])
 
@@ -110,6 +115,10 @@ class DataLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+        # Propagate to datasets with per-epoch sampling state (e.g. the
+        # any2any dataset's per-item domain draws).
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)

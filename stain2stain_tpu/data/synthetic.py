@@ -128,4 +128,36 @@ def generate_domain_folders(
     return root
 
 
-__all__ = ["generate_paired_dataset", "generate_domain_folders", "make_tile_pair"]
+def generate_pos_neg_layout(
+    root: str | Path,
+    n_pos_train: int = 8,
+    n_neg: int = 4,
+    n_val: int = 4,
+    n_test: int = 4,
+    size: int = 64,
+    seed: int = 0,
+) -> Path:
+    """Positive CSV dataset + ``negative/he``+``negative/ihc`` folder pair
+    (ref layout: src/data/paired_postive_negative_data_he_amyloid.py)."""
+    import cv2
+
+    root = Path(root)
+    generate_paired_dataset(
+        root, n_train=n_pos_train, n_val=n_val, n_test=n_test, size=size, seed=seed
+    )
+    rng = np.random.default_rng(seed + 1)
+    for i in range(n_neg):
+        he, ihc, _ = make_tile_pair(rng, size)
+        fname = f"neg_{i:04d}.png"
+        for sub, img in (("train_he", he), ("train_ihc", ihc)):
+            (root / sub).mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(root / sub / fname), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    return root
+
+
+__all__ = [
+    "generate_paired_dataset",
+    "generate_domain_folders",
+    "generate_pos_neg_layout",
+    "make_tile_pair",
+]

@@ -49,6 +49,7 @@ class FlowMatchingDecoder(nn.Module):
     features: Sequence[int] = (512, 256, 128, 64)
     out_channels: int = 3
     time_emb_dim: int = 256
+    bilinear: bool = True  # config-parity knob; bilinear is the only up mode
     norm: str = "group"
     dtype: Any = jnp.float32
 
@@ -77,6 +78,7 @@ class SegmentationDecoder(nn.Module):
     bottleneck_channels: int = 1024
     features: Sequence[int] = (512, 256, 128, 64)
     out_channels: int = 1
+    bilinear: bool = True  # config-parity knob; bilinear is the only up mode
     norm: str = "group"
     dtype: Any = jnp.float32
 

@@ -49,10 +49,10 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _fsdp_spec(path: tuple, leaf: Any, fsdp_size: int) -> P:
+def _fsdp_spec(path: tuple, leaf: Any, fsdp_size: int, min_size: int) -> P:
     """Shard the largest dim of big weights over 'fsdp'; replicate the rest."""
     shape = getattr(leaf, "shape", ())
-    if fsdp_size <= 1 or not shape or max(shape) < 1024:
+    if fsdp_size <= 1 or not shape or max(shape) < min_size:
         return P()
     axis = int(np.argmax(shape))
     if shape[axis] % fsdp_size != 0:
@@ -62,12 +62,16 @@ def _fsdp_spec(path: tuple, leaf: Any, fsdp_size: int) -> P:
     return P(*spec)
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
-    """Per-leaf NamedShardings for a param/optimizer pytree."""
+def param_shardings(mesh: Mesh, params: Any, min_size: int = 1024) -> Any:
+    """Per-leaf NamedShardings for a param/optimizer pytree.
+
+    ``min_size``: smallest largest-dim worth sharding over 'fsdp' (ZeRO-style);
+    tiny tensors replicate — the all-gather would cost more than it saves.
+    """
     fsdp_size = mesh.shape["fsdp"]
 
     def spec(path, leaf):
-        return NamedSharding(mesh, _fsdp_spec(path, leaf, fsdp_size))
+        return NamedSharding(mesh, _fsdp_spec(path, leaf, fsdp_size, min_size))
 
     return jax.tree_util.tree_map_with_path(spec, params)
 

@@ -22,6 +22,11 @@ from .base import FlowMatchingTask
 class MaskConditionedFlowMatchingModule(FlowMatchingTask):
     batch_fields = ("image", "image", "mask")
 
+    def __init__(self, *args, aux_loss_weight: float = 0.1, **kwargs):
+        # aux_loss_weight: config-parity knob, unused (reference stores but
+        # never reads it in this variant's loss).
+        super().__init__(*args, **kwargs)
+
     def init_variables(self, rng: jax.Array, batch: tuple) -> Any:
         src = batch[0]
         x = jnp.zeros(src.shape, jnp.float32) if src.dtype != jnp.float32 else src

@@ -22,9 +22,17 @@ from .base import FlowMatchingTask
 class MaskedFlowMatchingModule(FlowMatchingTask):
     batch_fields = ("image", "image", "mask")
 
-    def __init__(self, *args, mask_weight: float = 10.0, **kwargs):
+    def __init__(
+        self,
+        *args,
+        roi_lambda: float = 10.0,
+        aux_loss_weight: float = 0.1,  # accepted for config parity; the
+        # reference stores it but its masked loss never reads it (ref :22,76-91)
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
-        self.mask_weight = mask_weight
+        self.roi_lambda = roi_lambda
+        self.aux_loss_weight = aux_loss_weight
 
     def init_variables(self, rng: jax.Array, batch: tuple) -> Any:
         src = batch[0]
@@ -37,7 +45,7 @@ class MaskedFlowMatchingModule(FlowMatchingTask):
         fm_rng, drop_rng = jax.random.split(rng)
         t, xt, ut = self.flow_matcher.sample_location_and_conditional_flow(fm_rng, src, tgt)
         vt = self._apply_net(variables, t, xt, train=train, rng=drop_rng)
-        loss = roi_weighted_mse(vt, ut, mask, roi_lambda=self.mask_weight)
+        loss = roi_weighted_mse(vt, ut, mask, roi_lambda=self.roi_lambda)
         return loss, {"loss": loss}, {}
 
     def generate(self, variables, source: jax.Array, num_steps: int = 100) -> jax.Array:

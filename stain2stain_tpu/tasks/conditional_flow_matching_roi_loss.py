@@ -25,7 +25,14 @@ from .base import FlowMatchingTask
 class ROICharbonnierFlowMatchingModule(FlowMatchingTask):
     batch_fields = ("image", "image", "mask")
 
-    def __init__(self, *args, lambda_roi: float = 1.0, charb_eps: float = 1e-3, **kwargs):
+    def __init__(
+        self,
+        *args,
+        lambda_roi: float = 1.0,
+        charb_eps: float = 1e-3,
+        aux_loss_weight: float = 0.1,  # config-parity knob, unused (ref quirk)
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         self.lambda_roi = lambda_roi
         self.charb_eps = charb_eps

@@ -20,6 +20,8 @@ from .base import TaskModule
 class MNISTLitModule(TaskModule):
     batch_fields = ("raw", "label")
     monitor = "val/loss"
+    # running max the template's Optuna sweep optimizes (ref :67-77)
+    track_best = {"val/acc": ("max", "val/acc_best")}
 
     def __init__(self, net=None, optimizer=None, scheduler=None, compile: bool = True):
         super().__init__(net=net, optimizer=optimizer, scheduler=scheduler, log_images=False)

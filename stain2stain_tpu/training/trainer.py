@@ -77,6 +77,7 @@ class Trainer:
         fsdp: int = 1,
         sync_batchnorm: bool = False,  # BN sync is implied by batch sharding; knob kept for parity
         max_steps: int = -1,
+        overfit_batches: Any = 0,
         val_check_interval: Any = None,
         enable_progress_bar: bool = True,
         enable_checkpointing: bool = True,
@@ -138,6 +139,13 @@ class Trainer:
             self.limit_val_batches = 1
             self.limit_test_batches = 1
             self.check_val_every_n_epoch = 1
+        self._overfit = bool(overfit_batches)
+        if overfit_batches:
+            # Lightning overfit semantics: train on a fixed handful of batches
+            # (the epoch permutation is pinned to epoch 0 below so the same
+            # N batches repeat), validating on the same count.
+            self.limit_train_batches = overfit_batches
+            self.limit_val_batches = overfit_batches
 
     # ------------------------------------------------------------------ utils
     @property
@@ -337,6 +345,7 @@ class Trainer:
 
                 if val_loader is not None and (epoch + 1) % self.check_val_every_n_epoch == 0:
                     self._run_eval(val_loader, prefix="val")
+                    self._track_best(task)
                 self._epoch_end_control_flow(task)
                 for cb in self.callbacks:
                     cb.on_validation_epoch_end(self, task)
@@ -352,7 +361,7 @@ class Trainer:
                 logger.finalize()
 
     def _run_train_epoch(self, task, loader, augment) -> None:
-        loader.set_epoch(self.current_epoch)
+        loader.set_epoch(0 if self._overfit else self.current_epoch)
         n_batches = self._limit(self.limit_train_batches, len(loader))
         epoch_metrics: dict[str, list] = {}
         profiler_times: list[float] = []
@@ -414,6 +423,18 @@ class Trainer:
         if not self.sanity_checking:
             self.log_metrics(means)
         return means
+
+    def _track_best(self, task) -> None:
+        """Running best-metric aggregates (MaxMetric parity: the reference's
+        MNIST module tracks val/acc_best for sweepers, mnist_module.py:67-77).
+        Tasks declare ``track_best = {"val/acc": ("max", "val/acc_best")}``."""
+        for metric, (mode, name) in getattr(task, "track_best", {}).items():
+            if metric not in self.callback_metrics:
+                continue
+            value = self.callback_metrics[metric]
+            prev = self.callback_metrics.get(name)
+            best = value if prev is None else (max(prev, value) if mode == "max" else min(prev, value))
+            self.log_metrics({name: best})
 
     def _epoch_end_control_flow(self, task) -> None:
         """ReduceLROnPlateau on the monitored metric (host-side, outside jit)."""

@@ -1,0 +1,166 @@
+"""Data-pipeline tests: every reference datamodule equivalent yields batches
+with the right shapes/dtypes/semantics from synthetic fixtures (the reference
+ships no data; SURVEY.md §4 calls for hermetic tiny-config runs).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from stain2stain_tpu.data import (
+    ClassConditionalAnyToAnyDataModule,
+    DataLoader,
+    MNISTDataModule,
+    PairedDataModule,
+    PairedHEIHCDataModule,
+    PairedMulticlassDataModule,
+    PairedPosNegDataModule,
+)
+from stain2stain_tpu.data.mnist_datamodule import ArrayDataset
+from stain2stain_tpu.data.synthetic import (
+    generate_domain_folders,
+    generate_paired_dataset,
+    generate_pos_neg_layout,
+)
+
+
+@pytest.fixture(scope="module")
+def paired_root(tmp_path_factory):
+    return generate_paired_dataset(
+        tmp_path_factory.mktemp("paired"), n_train=6, n_val=3, n_test=3, size=48,
+        with_mask=True, num_mask_classes=3,
+    )
+
+
+def test_paired_datamodule_batches(paired_root):
+    dm = PairedDataModule(
+        data_dir=str(paired_root), batch_size=2, num_workers=2, image_size=32,
+        use_augmentation=True, load_size=48,
+    )
+    dm.setup()
+    batch = next(iter(dm.train_dataloader()))
+    src, tgt = batch
+    # augmentation crops on device → host yields load_size tiles
+    assert src.shape == (2, 48, 48, 3) and src.dtype == np.uint8
+    assert tgt.shape == (2, 48, 48, 3)
+    assert dm.train_augment == {"crop_size": 32, "hflip": True, "vflip": True}
+    val = next(iter(dm.val_dataloader()))
+    assert val[0].shape == (2, 32, 32, 3)  # eval path resizes straight
+
+
+def test_paired_direction_swap(paired_root):
+    fwd = PairedDataModule(data_dir=str(paired_root), batch_size=2, image_size=32, num_workers=1)
+    rev = PairedDataModule(
+        data_dir=str(paired_root), batch_size=2, image_size=32, direction="T2S", num_workers=1
+    )
+    fwd.setup(), rev.setup()
+    f = next(iter(fwd.val_dataloader()))
+    r = next(iter(rev.val_dataloader()))
+    np.testing.assert_array_equal(f[0], r[1])
+    np.testing.assert_array_equal(f[1], r[0])
+
+
+def test_mask_datamodule_binarizes(paired_root):
+    dm = PairedHEIHCDataModule(
+        data_dir=str(paired_root), batch_size=2, image_size=32, num_workers=1,
+        mask_column="amyloid_filepath",
+    )
+    dm.setup()
+    he, ihc, mask = next(iter(dm.train_dataloader()))
+    assert he.shape == (2, 32, 32, 3)
+    assert mask.shape == (2, 32, 32, 1) and mask.dtype == np.uint8
+    assert set(np.unique(mask)) <= {0, 1}  # >1 → 1 binarization
+
+
+def test_multiclass_datamodule_keeps_class_ids(paired_root):
+    dm = PairedMulticlassDataModule(
+        data_dir=str(paired_root), batch_size=2, image_size=32, num_workers=1,
+        source_column="he_filepath", target_column="ihc_filepath",
+        mask_column="graywhite_filepath",
+    )
+    dm.setup()
+    src, tgt, mask = next(iter(dm.train_dataloader()))
+    assert mask.shape == (2, 32, 32) and mask.dtype == np.int32
+    assert mask.max() >= 0  # integer ids preserved, no normalize
+
+
+def test_any2any_datamodule_split_and_labels(tmp_path):
+    root = generate_domain_folders(tmp_path / "domains", n_images=8, size=48)
+    dm = ClassConditionalAnyToAnyDataModule(
+        data_dir=str(root), crop_size=32, batch_size=2, num_workers=1, val_split=0.25
+    )
+    dm.prepare_data()
+    split = json.loads((root / "train_val_split.json").read_text())
+    assert split["train_files"] == 6 and split["val_files"] == 2
+    # idempotent: second call must not rewrite
+    dm.prepare_data()
+    dm.setup()
+    src, tgt, label = next(iter(dm.train_dataloader()))
+    assert src.shape == (2, 32, 32, 3) and tgt.shape == (2, 32, 32, 3)
+    assert label.dtype == np.int32 and set(label.tolist()) <= {0, 1, 2}
+    # per-epoch domain resampling: labels change across epochs
+    loader = dm.train_dataloader()
+    loader.set_epoch(0)
+    l0 = [b[2].tolist() for b in loader]
+    loader.set_epoch(1)
+    l1 = [b[2].tolist() for b in loader]
+    assert l0 != l1
+
+
+def test_posneg_datamodule_weights_and_mixing(tmp_path):
+    root = generate_pos_neg_layout(tmp_path / "pn", n_pos_train=6, n_neg=2, size=48)
+    dm = PairedPosNegDataModule(
+        data_dir=str(root), batch_size=4, num_workers=1, image_size=48, crop_size=48
+    )
+    dm.setup()
+    assert len(dm.data_train) == 8
+    w = dm._train_weights
+    assert w is not None and len(w) == 8
+    # 1/N weights: negatives (2) weigh 3× positives (6)
+    assert w[-1] == pytest.approx(3 * w[0])
+    batch = next(iter(dm.train_dataloader()))
+    assert batch[0].shape == (4, 48, 48, 3)
+
+
+def test_mnist_datamodule_synthetic_fallback():
+    dm = MNISTDataModule(data_dir="/nonexistent", batch_size=8, synthetic_size=200)
+    dm.setup()
+    n = len(dm.data_train) + len(dm.data_val) + len(dm.data_test)
+    assert n == 200
+    # 55k/5k/10k proportions scaled down
+    assert len(dm.data_train) == int(200 * 55 / 70)
+    x, y = next(iter(dm.train_dataloader()))
+    assert x.shape == (8, 28, 28) and x.dtype == np.uint8
+    assert y.dtype == np.int32 and y.min() >= 0 and y.max() <= 9
+
+
+def test_dataloader_determinism_and_sharding():
+    images = np.arange(16, dtype=np.uint8).reshape(16, 1)
+    ds = ArrayDataset(images, np.zeros(16, np.int64))
+    mk = lambda shard: DataLoader(
+        ds, batch_size=8, shuffle=True, seed=3, num_workers=1,
+        shard_index=shard, num_shards=2,
+    )
+    a0 = [b[0].ravel().tolist() for b in mk(0)]
+    a0_again = [b[0].ravel().tolist() for b in mk(0)]
+    a1 = [b[0].ravel().tolist() for b in mk(1)]
+    assert a0 == a0_again  # deterministic under a fixed seed+epoch
+    # shards partition each global batch: 4 per shard, disjoint, union = 8
+    for b0, b1 in zip(a0, a1):
+        assert len(b0) == len(b1) == 4
+        assert not (set(b0) & set(b1))
+    loader = mk(0)
+    loader.set_epoch(1)
+    assert [b[0].ravel().tolist() for b in loader] != a0  # reshuffles per epoch
+
+
+def test_dataloader_propagates_worker_errors():
+    class Boom(ArrayDataset):
+        def __getitem__(self, idx):
+            raise RuntimeError("decode failed")
+
+    ds = Boom(np.zeros((4, 1), np.uint8), np.zeros(4, np.int64))
+    loader = DataLoader(ds, batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(iter(loader))

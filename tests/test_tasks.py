@@ -95,7 +95,7 @@ def test_class_conditional_task_and_batched_any2any():
 
 
 def test_masked_task_upweights_roi():
-    task = MaskedFlowMatchingModule(net=tiny_unet(), mask_weight=10.0, solver=SolverConfig("euler"))
+    task = MaskedFlowMatchingModule(net=tiny_unet(), roi_lambda=10.0, solver=SolverConfig("euler"))
     _, loss, _, gen = run_task(task, img_batch(1, "mask"))
     assert gen.shape == (B, S, S, 3)
     # zero mask ⇒ plain MSE; nonzero mask changes the weighting
