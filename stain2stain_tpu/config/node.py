@@ -147,17 +147,20 @@ class Config:
 
     # -- mapping protocol --------------------------------------------------------
     def __getitem__(self, key: str) -> Any:
-        if "." in key:
+        # Literal keys win (covers non-string keys like int class ids and
+        # literal dotted keys like sweeper params "model.optimizer.lr");
+        # otherwise a dotted key is a path traversal.
+        if key in self._data:
+            return self._resolve_value(self._data[key])
+        if isinstance(key, str) and "." in key:
             node: Any = self
             for part in key.split("."):
                 node = node[part] if isinstance(node, Config) else node[int(part)]
             return node
-        if key not in self._data:
-            raise KeyError(key)
-        return self._resolve_value(self._data[key])
+        raise KeyError(key)
 
     def __setitem__(self, key: str, value: Any) -> None:
-        if "." in key:
+        if isinstance(key, str) and "." in key:
             head, rest = key.split(".", 1)
             if head not in self._data or not isinstance(self._data[head], Config):
                 self._data[head] = Config(_root=self._root_node())
@@ -166,7 +169,7 @@ class Config:
             self._data[key] = self._wrap(value)
 
     def __delitem__(self, key: str) -> None:
-        if "." in key:
+        if isinstance(key, str) and "." in key:
             head, rest = key.split(".", 1)
             del self._data[head][rest]
         else:
