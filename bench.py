@@ -110,7 +110,8 @@ def main() -> None:
             result = (batch_size, STEPS * batch_size / dt, step_flops)
             break
         except Exception as exc:  # OOM at this batch → halve
-            if "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc):
+            msg = str(exc).lower()
+            if "resource_exhausted" in msg or "out of memory" in msg or "hbm" in msg:
                 continue
             raise
     if result is None:

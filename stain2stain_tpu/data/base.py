@@ -151,16 +151,23 @@ class DataLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_factor)
         stop = threading.Event()
 
+        get_batch = getattr(self.dataset, "get_batch", None)
+
         def produce():
             try:
                 for local in batches:
                     if stop.is_set():
                         return
-                    if self.num_workers > 1 and len(local) > 1:
-                        samples = list(self._parallel_fetch(local))
-                    else:
-                        samples = [self.dataset[int(i)] for i in local]
-                    out_q.put(self.collate_fn(samples))
+                    # Native fast path: one GIL-free C++ call decodes the whole
+                    # batch (returns None when the native lib is unavailable).
+                    batch = get_batch(local) if get_batch is not None else None
+                    if batch is None:
+                        if self.num_workers > 1 and len(local) > 1:
+                            samples = list(self._parallel_fetch(local))
+                        else:
+                            samples = [self.dataset[int(i)] for i in local]
+                        batch = self.collate_fn(samples)
+                    out_q.put(batch)
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 out_q.put(e)

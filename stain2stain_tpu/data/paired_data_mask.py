@@ -69,6 +69,26 @@ class PairedHEIHCDataset(Dataset):
             he, ihc = ihc, he
         return he, ihc, mask
 
+    def get_batch(self, indices) -> tuple | None:
+        """Native batch fast path: both RGB columns in one decode call, masks
+        in a second nearest-interp call, binarized >1→1 vectorized."""
+        from . import native
+
+        if not native.available():
+            return None
+        size = self.image_size
+        src = [os.path.join(self.tile_dir, self.source_files[int(i)]) for i in indices]
+        tgt = [os.path.join(self.tile_dir, self.target_files[int(i)]) for i in indices]
+        both = native.decode_batch(src + tgt, size=size)
+        n = len(indices)
+        he, ihc = both[:n], both[n:]
+        mask_paths = [os.path.join(self.tile_dir, self.mask_files[int(i)]) for i in indices]
+        masks = native.decode_batch(mask_paths, size=size, channels=1, nearest=True)
+        masks = np.where(masks > 1, 1, 0).astype(np.uint8)
+        if self.swap:
+            he, ihc = ihc, he
+        return he, ihc, masks
+
 
 class PairedHEIHCDataModule(DataModule):
     """Config surface mirrors /root/reference/configs/data/paired_data_mask_he_amyloid.yaml."""

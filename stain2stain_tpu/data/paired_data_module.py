@@ -110,6 +110,30 @@ class PairedDataset(Dataset):
             return src, tgt, src_name, tgt_name
         return src, tgt
 
+    def get_batch(self, indices) -> tuple | None:
+        """Native batch fast path: source+target tiles of the whole batch in
+        ONE GIL-free C++ decode call (stain2stain_tpu/data/native.py)."""
+        from . import native
+
+        if not native.available():
+            return None
+        size = self.load_size if self.use_augmentation else self.image_size
+        src_paths = [os.path.join(self.tile_dir, self.source_files[int(i)]) for i in indices]
+        tgt_paths = [os.path.join(self.tile_dir, self.target_files[int(i)]) for i in indices]
+        both = native.decode_batch(src_paths + tgt_paths, size=size)
+        n = len(indices)
+        src, tgt = both[:n], both[n:]
+        if self.swap:
+            src, tgt = tgt, src
+            src_names = [self.target_files[int(i)] for i in indices]
+            tgt_names = [self.source_files[int(i)] for i in indices]
+        else:
+            src_names = [self.source_files[int(i)] for i in indices]
+            tgt_names = [self.target_files[int(i)] for i in indices]
+        if self.return_filename:
+            return src, tgt, src_names, tgt_names
+        return src, tgt
+
 
 class PairedDataModule(DataModule):
     """Config surface mirrors /root/reference/configs/data/paired_data.yaml."""

@@ -76,6 +76,25 @@ class PairedMulticlassDataset(Dataset):
             src, tgt = tgt, src
         return src, tgt, mask
 
+    def get_batch(self, indices) -> tuple | None:
+        """Native batch fast path; class masks decode nearest (ids exact)."""
+        from . import native
+
+        if not native.available():
+            return None
+        size = self.load_size if self.use_augmentation else self.image_size
+        src = [os.path.join(self.tile_dir, self.source_files[int(i)]) for i in indices]
+        tgt = [os.path.join(self.tile_dir, self.target_files[int(i)]) for i in indices]
+        both = native.decode_batch(src + tgt, size=size)
+        n = len(indices)
+        images, targets = both[:n], both[n:]
+        mask_paths = [os.path.join(self.tile_dir, self.mask_files[int(i)]) for i in indices]
+        masks = native.decode_batch(mask_paths, size=size, channels=1, nearest=True)
+        masks = masks[..., 0].astype(np.int32)
+        if self.swap:
+            images, targets = targets, images
+        return images, targets, masks
+
 
 class PairedMulticlassDataModule(DataModule):
     """Config surface mirrors /root/reference/configs/data/paired_data_multiclass_seg_mask.yaml."""

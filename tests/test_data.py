@@ -164,3 +164,35 @@ def test_dataloader_propagates_worker_errors():
     loader = DataLoader(ds, batch_size=2, num_workers=2)
     with pytest.raises(RuntimeError, match="decode failed"):
         next(iter(loader))
+
+
+def test_native_batch_decode_matches_per_item(paired_root):
+    from stain2stain_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native loader not built")
+    dm = PairedDataModule(data_dir=str(paired_root), batch_size=2, image_size=32, num_workers=1)
+    dm.setup()
+    ds = dm.datasets["val"]
+    batch = ds.get_batch([0, 1])
+    assert batch is not None
+    per_item = [ds[i] for i in (0, 1)]
+    # bilinear resize parity: native is within ±1 uint8 step of cv2
+    for field in range(2):
+        got = batch[field].astype(int)
+        want = np.stack([s[field] for s in per_item]).astype(int)
+        assert np.abs(got - want).max() <= 1
+
+
+def test_native_mask_batch_binarizes(paired_root):
+    from stain2stain_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native loader not built")
+    dm = PairedHEIHCDataModule(
+        data_dir=str(paired_root), batch_size=2, image_size=32, num_workers=1
+    )
+    dm.setup()
+    batch = dm.datasets["train"].get_batch([0, 1, 2])
+    assert batch[2].shape == (3, 32, 32, 1)
+    assert set(np.unique(batch[2])) <= {0, 1}
