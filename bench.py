@@ -21,6 +21,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -59,9 +60,9 @@ def build_step():
     tx, _ = task.configure_optimizers()
 
     def make(batch_size: int):
-        rng = jax.random.key(0)
-        src_u8 = jax.random.randint(rng, (batch_size, IMAGE_SIZE, IMAGE_SIZE, 3), 0, 256, jnp.uint8)
-        tgt_u8 = jax.random.randint(rng, (batch_size, IMAGE_SIZE, IMAGE_SIZE, 3), 0, 256, jnp.uint8)
+        src_rng, tgt_rng = jax.random.split(jax.random.key(0))
+        src_u8 = jax.random.randint(src_rng, (batch_size, IMAGE_SIZE, IMAGE_SIZE, 3), 0, 256, jnp.uint8)
+        tgt_u8 = jax.random.randint(tgt_rng, (batch_size, IMAGE_SIZE, IMAGE_SIZE, 3), 0, 256, jnp.uint8)
         variables = task.init_variables(
             jax.random.key(1), (jnp.zeros((batch_size, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32),)
         )
@@ -91,8 +92,17 @@ def build_step():
 def main() -> None:
     make = build_step()
     result = None
-    for batch_size in (64, 32, 16, 8):
+    step = state = src = tgt = None
+    # 64 needs ~27 GB of HLO temps (up-path concat convs at 256²) — beyond
+    # one v5e chip even with the fused attention; start at the largest size
+    # that fits so a failed larger attempt can't fragment/pin HBM first.
+    for batch_size in (32, 16, 8):
         try:
+            # Drop the previous attempt's device buffers before allocating the
+            # next size — stale params/opt-state/batches otherwise pin HBM and
+            # cascade the OOM down every batch size.
+            del step, state, src, tgt
+            step = state = src = tgt = None
             step, state, src, tgt = make(batch_size)
             rng = jax.random.key(2)
             lowered = step.lower(state, src, tgt, rng)
@@ -101,17 +111,22 @@ def main() -> None:
             step_flops = float(cost.get("flops", 0.0))
             for _ in range(WARMUP):
                 state, loss = step(state, src, tgt, rng)
-            jax.block_until_ready(loss)
+            float(loss)  # full host sync — the axon tunnel's block_until_ready
+            # returns before remote execution completes, so timing must
+            # materialize a value to host every step.
             t0 = time.perf_counter()
             for _ in range(STEPS):
                 state, loss = step(state, src, tgt, rng)
-            jax.block_until_ready(loss)
+                float(loss)
             dt = time.perf_counter() - t0
             result = (batch_size, STEPS * batch_size / dt, step_flops)
+            print(f"# measured at batch={batch_size}: {dt/STEPS*1e3:.1f} ms/step", file=sys.stderr)
             break
         except Exception as exc:  # OOM at this batch → halve
             msg = str(exc).lower()
-            if "resource_exhausted" in msg or "out of memory" in msg or "hbm" in msg:
+            if "resource_exhausted" in msg or "out of memory" in msg:
+                head = str(exc).splitlines()[0][:160]
+                print(f"# batch={batch_size} OOM ({head}), trying smaller", file=sys.stderr)
                 continue
             raise
     if result is None:

@@ -100,6 +100,12 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.gradient_clip_val = gradient_clip_val
         self.accumulate_grad_batches = max(1, accumulate_grad_batches)
+        if self.accumulate_grad_batches > 1:
+            warnings.warn(
+                "accumulate_grad_batches>1 is not yet implemented in the jitted "
+                "step (the reference never uses it); running without accumulation.",
+                stacklevel=2,
+            )
         self.detect_anomaly = detect_anomaly
         self.num_sanity_val_steps = num_sanity_val_steps
         self.deterministic = deterministic
