@@ -37,7 +37,16 @@ from stain2stain_tpu.ops.time_embedding import timestep_embedding_adm
 
 
 def _gn_groups(channels: int) -> int:
-    return min(32, channels)
+    """Largest group count ≤ 32 that divides the channels.
+
+    ADM uses GroupNorm(32) and guarantees divisibility by choosing channel
+    widths that are multiples of 32; small test configs (and up-path concat
+    widths like 48) need the fallback to the largest divisor.
+    """
+    groups = min(32, channels)
+    while channels % groups:
+        groups -= 1
+    return groups
 
 
 class ResBlock(nn.Module):
@@ -105,6 +114,7 @@ class AttentionBlock(nn.Module):
 
     num_heads: int
     dtype: Any = jnp.float32
+    use_fused: Optional[bool] = None  # None = auto (Pallas on TPU)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -120,7 +130,7 @@ class AttentionBlock(nn.Module):
         def heads(t):
             return t.reshape(batch, -1, self.num_heads, head_dim)
 
-        out = attention(heads(q), heads(k), heads(v), head_dim)
+        out = attention(heads(q), heads(k), heads(v), head_dim, use_fused=self.use_fused)
         out = out.reshape(batch, height * width, chans).astype(self.dtype)
         out = nn.Dense(chans, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj")(out)
         return x + out.reshape(batch, height, width, chans)
@@ -178,6 +188,7 @@ class UNetModel(nn.Module):
     out_channels: Optional[int] = None  # defaults to dim[0]
     conv_resample: bool = True
     use_checkpoint: bool = False  # remat res-blocks to trade FLOPs for HBM
+    fused_attention: Optional[bool] = None  # None = Pallas kernel on TPU
     dtype: Any = jnp.float32
 
     def _attention_ds(self) -> tuple:
@@ -237,7 +248,8 @@ class UNetModel(nn.Module):
                 )(h, emb, train=train)
                 if ds in attention_ds:
                     h = AttentionBlock(
-                        self._num_heads_for(h.shape[-1]), dtype=self.dtype, name=f"down_{level}_attn_{i}"
+                        self._num_heads_for(h.shape[-1]), dtype=self.dtype,
+                        use_fused=self.fused_attention, name=f"down_{level}_attn_{i}"
                     )(h)
                 skips.append(h)
             if level != len(self.channel_mult) - 1:
@@ -263,7 +275,10 @@ class UNetModel(nn.Module):
             dtype=self.dtype,
             name="mid_res_0",
         )(h, emb, train=train)
-        h = AttentionBlock(self._num_heads_for(h.shape[-1]), dtype=self.dtype, name="mid_attn")(h)
+        h = AttentionBlock(
+            self._num_heads_for(h.shape[-1]), dtype=self.dtype,
+            use_fused=self.fused_attention, name="mid_attn"
+        )(h)
         h = res_block(
             h.shape[-1],
             dropout=self.dropout,
@@ -286,7 +301,8 @@ class UNetModel(nn.Module):
                 )(h, emb, train=train)
                 if ds in attention_ds:
                     h = AttentionBlock(
-                        self._num_heads_for(h.shape[-1]), dtype=self.dtype, name=f"up_{level}_attn_{i}"
+                        self._num_heads_for(h.shape[-1]), dtype=self.dtype,
+                        use_fused=self.fused_attention, name=f"up_{level}_attn_{i}"
                     )(h)
             if level != 0:
                 if self.resblock_updown:

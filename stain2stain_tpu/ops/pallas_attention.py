@@ -139,15 +139,22 @@ def _fused_attention_bwd(scale, residuals, do):
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
-def attention(q: jax.Array, k: jax.Array, v: jax.Array, head_dim: int) -> jax.Array:
+def attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, head_dim: int, use_fused: bool | None = None
+) -> jax.Array:
     """Multi-head attention (B, T, H, d) → (B, T, H, d).
 
     Uses the fused Pallas kernel on TPU; einsum fallback elsewhere. Matches
     the ADM attention math (total scaling 1/√d, f32 accumulation).
+    ``use_fused=None`` auto-selects from the default backend — pass False
+    explicitly when lowering for non-TPU devices while a TPU is the default
+    backend (e.g. a virtual CPU mesh on a TPU box).
     """
     batch, t, heads, d = q.shape
     scale = 1.0 / math.sqrt(head_dim)
-    if jax.default_backend() == "tpu":
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
+    if use_fused:
         def fold(x):
             return x.transpose(0, 2, 1, 3).reshape(batch * heads, t, d)
 

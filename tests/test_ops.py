@@ -40,7 +40,8 @@ def test_cfm_straight_line_path():
     assert t.shape == (4,)
     assert jnp.all((t >= 0) & (t <= 1))
     # xt must equal t (broadcast) since x0=0, x1=1; ut = x1 - x0 = 1.
-    np.testing.assert_allclose(np.asarray(xt), np.asarray(t)[:, None, None, None], rtol=1e-6)
+    expected = np.broadcast_to(np.asarray(t)[:, None, None, None], xt.shape)
+    np.testing.assert_allclose(np.asarray(xt), expected, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ut), 1.0)
 
 
