@@ -176,10 +176,23 @@ class Config:
             del self._data[key]
 
     def __getattr__(self, key: str) -> Any:
+        # Underscore names (slots during copy/pickle reconstruction, dunder
+        # protocol probes) must raise AttributeError, not recurse into
+        # __getitem__ → _data → __getattr__.
+        if key.startswith("_"):
+            raise AttributeError(key)
         try:
             return self[key]
         except KeyError:
             raise AttributeError(key) from None
+
+    def __deepcopy__(self, memo: dict) -> "Config":
+        import copy as _copy
+
+        new = Config()
+        object.__setattr__(new, "_data", _copy.deepcopy(self._data, memo))
+        new._rebind_root(new)
+        return new
 
     def __setattr__(self, key: str, value: Any) -> None:
         self[key] = value

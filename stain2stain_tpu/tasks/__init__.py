@@ -5,6 +5,7 @@ LightningModules (SURVEY.md §2.2). Each bundles a net + loss recipe +
 
 from .base import FlowMatchingTask, TaskModule
 from .class_conditional_flow_matching import ClassConditionalFlowMatchingModule
+from .conditional_flow_matching_aux_fraction import AuxFractionFlowMatchingModule
 from .conditional_flow_matching import ConditionalFlowMatchingModule
 from .conditional_flow_matching_conditional_mask import MaskConditionedFlowMatchingModule
 from .conditional_flow_matching_masked import MaskedFlowMatchingModule
@@ -25,5 +26,6 @@ __all__ = [
     "ToggleMaskFlowMatchingModule",
     "MultitaskFlowMatchingModule",
     "MultitaskMulticlassFlowMatchingModule",
+    "AuxFractionFlowMatchingModule",
     "MNISTLitModule",
 ]

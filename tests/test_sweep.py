@@ -1,0 +1,101 @@
+"""First-party sweeper tests: param grammar, TPE convergence, study runner."""
+
+import numpy as np
+import pytest
+
+from stain2stain_tpu.config import Config
+from stain2stain_tpu.sweep import ParamSpace, Sweeper, TPESampler, parse_param, run_study
+
+
+def test_param_grammar():
+    p = parse_param("interval(0.0001, 0.1)")
+    assert p.kind == "float" and p.lo == pytest.approx(1e-4) and p.hi == pytest.approx(0.1)
+    c = parse_param("choice(32, 64, 128, 256)")
+    assert c.kind == "choice" and c.choices == (32, 64, 128, 256)
+    r = parse_param("range(0, 10, 2)")
+    assert r.choices == (0, 2, 4, 6, 8)
+    i = parse_param("int(interval(1, 9))")
+    assert i.kind == "int"
+    s = parse_param("choice(adam, sgd)")
+    assert s.choices == ("adam", "sgd")
+    with pytest.raises(ValueError):
+        parse_param("gaussian(0, 1)")
+
+
+def test_tpe_beats_random_on_quadratic():
+    spaces = {"x": ParamSpace("float", lo=-5.0, hi=5.0)}
+
+    def best_after(sampler, n):
+        history = []
+        for _ in range(n):
+            a = sampler.suggest(spaces, history, "minimize")
+            history.append((a, (a["x"] - 2.0) ** 2))
+        return min(v for _, v in history)
+
+    tpe = best_after(TPESampler(seed=0, n_startup_trials=8), 40)
+    # pure random = a TPE that never leaves startup
+    rand = best_after(TPESampler(seed=0, n_startup_trials=1000), 40)
+    assert tpe <= rand + 1e-9
+
+
+def test_sweeper_optimize_categorical_and_float():
+    sweeper = Sweeper(
+        direction="maximize",
+        n_trials=25,
+        sampler=TPESampler(seed=3, n_startup_trials=8),
+        params={"lr": "interval(0.001, 1.0)", "width": "choice(16, 32, 64)"},
+    )
+    best_val, best_params = sweeper.optimize(
+        lambda a: -abs(a["lr"] - 0.1) + (0.5 if a["width"] == 64 else 0.0)
+    )
+    assert best_params["width"] == 64
+    assert abs(best_params["lr"] - 0.1) < 0.4
+
+
+def test_sweeper_survives_failing_trials():
+    calls = {"n": 0}
+
+    def objective(a):
+        calls["n"] += 1
+        if calls["n"] % 2:
+            raise RuntimeError("boom")
+        return a["x"]
+
+    sweeper = Sweeper(
+        direction="maximize", n_trials=10,
+        sampler=TPESampler(seed=1, n_startup_trials=4),
+        params={"x": "interval(0, 1)"},
+    )
+    best_val, best_params = sweeper.optimize(objective)
+    assert np.isfinite(best_val) and 0 <= best_val <= 1
+
+
+def test_run_study_applies_overrides():
+    cfg = Config(
+        {
+            "optimized_metric": "score",
+            "sweeper": {
+                "_target_": "stain2stain_tpu.sweep.Sweeper",
+                "direction": "maximize",
+                "n_trials": 6,
+                "sampler": {
+                    "_target_": "stain2stain_tpu.sweep.TPESampler",
+                    "seed": 0,
+                    "n_startup_trials": 3,
+                },
+                "params": {"model.lr": "interval(0, 1)"},
+            },
+            "model": {"lr": 0.5},
+        }
+    )
+
+    seen = []
+
+    def task(trial_cfg):
+        lr = trial_cfg["model"]["lr"]
+        seen.append(lr)
+        return {"score": 1.0 - abs(lr - 0.3)}
+
+    best = run_study(cfg, task)
+    assert len(seen) == 6
+    assert best == pytest.approx(max(1.0 - abs(v - 0.3) for v in seen))

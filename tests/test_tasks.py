@@ -212,3 +212,20 @@ def test_multiclass_ignore_index_excludes_pixels():
     # CE over zero valid pixels must be 0 (not NaN)
     assert np.isfinite(float(m_ign["seg_ce"]))
     assert float(m_ign["seg_ce"]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_aux_fraction_task():
+    from stain2stain_tpu.tasks import AuxFractionFlowMatchingModule
+
+    task = AuxFractionFlowMatchingModule(
+        net=tiny_unet(), aux_loss_weight=0.5, solver=SolverConfig("euler")
+    )
+    batch = img_batch(1, "mask")
+    variables, loss, metrics, gen = run_task(task, batch)
+    assert {"loss", "flow_loss", "aux_loss"} <= set(metrics)
+    assert gen.shape == (B, S, S, 3)
+    # fraction head regresses toward the mask's area fraction: with an
+    # all-ones mask the target is 1.0 and aux loss is (sigmoid(x)-1)^2 < 1
+    ones = (batch[0], batch[1], jnp.ones_like(batch[2]))
+    _, m, _ = task.loss_and_metrics(variables, ones, jax.random.key(5), train=False)
+    assert 0.0 <= float(m["aux_loss"]) < 1.0
