@@ -121,6 +121,9 @@ def train(cfg: Config) -> tuple[dict, dict]:
 
 @config_main(config_path="../configs", config_name="train.yaml")
 def main(cfg: Config) -> Optional[float]:
+    from stain2stain_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     extras(cfg)
 
     if cfg.get("sweeper"):

@@ -1,5 +1,6 @@
 """Mesh/sharding layer: the TPU-native replacement for DDP/NCCL."""
 
+from .distributed import maybe_initialize_distributed
 from .mesh import (
     batch_sharding,
     create_mesh,
@@ -14,4 +15,5 @@ __all__ = [
     "param_shardings",
     "replicated_sharding",
     "shard_batch",
+    "maybe_initialize_distributed",
 ]
