@@ -36,7 +36,10 @@ class SyntheticPairedDataModule(DataModule):
         seed: int = 0,
         pin_memory: bool = False,
     ):
-        self.data_dir = Path(data_dir)
+        # Variant-specific subdirectory: a masked dataset must not collide
+        # with a previously generated unmasked one at the same data_dir.
+        variant = f"s{tile_size}_m{num_mask_classes if with_mask else 0}_n{n_train}-{n_val}-{n_test}_seed{seed}"
+        self.data_dir = Path(data_dir) / variant
         self.n_train, self.n_val, self.n_test = n_train, n_val, n_test
         self.tile_size = tile_size
         self.seed = seed
