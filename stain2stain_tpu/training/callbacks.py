@@ -77,7 +77,9 @@ class ModelCheckpoint(Callback):
         verbose: bool = False,
         save_weights_only: bool = False,
         save_on_train_epoch_end: Optional[bool] = None,
+        log_model: bool = True,  # register saved ckpts with the loggers
     ):
+        self.log_model = log_model
         self.dirpath = dirpath
         self.filename = filename
         self.monitor = monitor
@@ -132,6 +134,9 @@ class ModelCheckpoint(Callback):
                 if drop != path and Path(drop).exists():
                     shutil.rmtree(drop, ignore_errors=True)
             self.best_model_score, self.best_model_path = self.kept[0]
+            if self.log_model:
+                for logger in trainer.loggers:
+                    logger.log_model(path, {"epoch": epoch, self.monitor: score})
             if self.verbose:
                 trainer.print(f"Saved checkpoint {path} ({self.monitor}={score:.5f})")
 

@@ -32,6 +32,10 @@ class Logger:
     def log_images(self, tag: str, images: dict, step: int) -> None:
         """images: mapping name → (N, H, W, C) float array in [0, 1]."""
 
+    def log_model(self, ckpt_path: str, metadata: Optional[dict] = None) -> None:
+        """Register a checkpoint as a model artifact (W&B ``log_model`` parity,
+        ref configs/logger/wandb.yaml:12). Default: record the path."""
+
     def finalize(self, status: str = "success") -> None:
         pass
 
@@ -116,6 +120,12 @@ class _FallbackFileLogger(Logger):
 
     def log_metrics(self, metrics: dict, step: int) -> None:
         self._file.write(json.dumps({"step": step, **{k: float(v) for k, v in metrics.items()}}) + "\n")
+
+    def log_model(self, ckpt_path: str, metadata: Optional[dict] = None) -> None:
+        self._file.write(
+            json.dumps({"model_artifact": str(ckpt_path), **(metadata or {})}, default=str) + "\n"
+        )
+        self._file.flush()
 
     def log_images(self, tag: str, images: dict, step: int) -> None:
         out = self.log_dir / "images" / f"step_{step}"
