@@ -35,6 +35,7 @@ import numpy as np
 from stain2stain_tpu.parallel import (
     batch_sharding,
     create_mesh,
+    param_shardings,
     replicated_sharding,
     shard_batch,
 )
@@ -75,6 +76,7 @@ class Trainer:
         logger: Any = None,
         profiler: Optional[str] = None,
         fsdp: int = 1,
+        fsdp_min_size: int = 1024,  # smallest largest-dim worth sharding
         sync_batchnorm: bool = False,  # BN sync is implied by batch sharding; knob kept for parity
         max_steps: int = -1,
         overfit_batches: Any = 0,
@@ -111,6 +113,7 @@ class Trainer:
         self.deterministic = deterministic
         self.profiler = profiler
         self.fsdp = fsdp
+        self.fsdp_min_size = fsdp_min_size
 
         self.callbacks: list[Callback] = list(callbacks or [])
         if logger is None or logger is False:
@@ -249,8 +252,31 @@ class Trainer:
         self.state = jax.jit(
             lambda v: TrainState.create(v, tx), out_shardings=replicated_sharding(self.mesh)
         )(variables)
+        if self.mesh.shape["fsdp"] > 1:
+            # ZeRO-style placement: big params (and their Adam moments, which
+            # mirror the param tree inside opt_state) shard over 'fsdp'; XLA
+            # inserts the all-gather/reduce-scatter pairs in the jitted step.
+            self._state_sharding = self._fsdp_state_sharding(self.state)
+            self.state = jax.device_put(self.state, self._state_sharding)
+        else:
+            self._state_sharding = replicated_sharding(self.mesh)
         if self._base_lr is None:
             self._base_lr = self.current_lr
+
+    def _fsdp_state_sharding(self, state: TrainState):
+        # param_shardings on a single leaf returns that leaf's NamedSharding,
+        # so mapping it over opt_state shards the Adam moment trees (which
+        # mirror the params) identically and replicates scalars/hyperparams.
+        min_size = self.fsdp_min_size
+        return state.replace(
+            step=replicated_sharding(self.mesh),
+            params=param_shardings(self.mesh, state.params, min_size=min_size),
+            extra_vars=param_shardings(self.mesh, state.extra_vars, min_size=min_size),
+            opt_state=jax.tree_util.tree_map(
+                lambda leaf: param_shardings(self.mesh, leaf, min_size=min_size),
+                state.opt_state,
+            ),
+        )
 
     def _compile_steps(self, task, augment: Optional[dict]) -> None:
         tx = self._tx
@@ -295,8 +321,18 @@ class Trainer:
         self._batch_sharding = bsh
 
     def _device_batch(self, task, batch: tuple):
-        arrays = task.device_fields(batch)
-        return shard_batch(self.mesh, tuple(np.asarray(a) for a in arrays))
+        arrays = tuple(np.asarray(a) for a in task.device_fields(batch))
+        # Ragged final batches (eval without drop_last) can't shard over the
+        # mesh; pad by repeating trailing examples — the same duplication
+        # semantics as torch's DistributedSampler, which the reference relies
+        # on (slightly overweights the padded examples in per-batch means).
+        n_dev = self.mesh.devices.size
+        local = arrays[0].shape[0]
+        if local % n_dev:
+            pad = n_dev - (local % n_dev)
+            idx = np.concatenate([np.arange(local), np.arange(pad) % local])
+            arrays = tuple(a[idx] for a in arrays)
+        return shard_batch(self.mesh, arrays)
 
     # ------------------------------------------------------------------- fit
     def fit(self, model, datamodule, ckpt_path: Optional[str] = None) -> None:
@@ -500,7 +536,7 @@ class Trainer:
 
     def _restore(self, path: str, weights_only: bool = False) -> int:
         state, meta = self._ckpt_io.restore(path, target=self.state)
-        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        self.state = jax.device_put(state, self._state_sharding)
         if weights_only:
             return 0
         self.current_epoch = int(meta.get("epoch", 0))

@@ -19,6 +19,12 @@ if os.environ.get("S2S_CPU_MESH"):
     _flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in _flags:
         os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    # On boxes where a sitecustomize registers an accelerator plugin and pins
+    # jax_platforms before this file runs, the env var alone is ignored —
+    # override the config explicitly (backends are not initialized yet).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
