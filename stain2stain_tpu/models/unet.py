@@ -60,7 +60,9 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False) -> jax.Array:
+        # ``train`` is positional (not keyword-only) so nn.remat can mark it
+        # static (static_argnums) — a traced bool breaks dropout's branch.
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=_gn_groups(in_ch), dtype=jnp.float32)(x)
         h = nn.silu(h).astype(self.dtype)
@@ -221,7 +223,7 @@ class UNetModel(nn.Module):
         mc = self.num_channels
         time_dim = mc * 4
         attention_ds = self._attention_ds()
-        res_block = nn.remat(ResBlock, static_argnums=()) if self.use_checkpoint else ResBlock
+        res_block = nn.remat(ResBlock, static_argnums=(3,)) if self.use_checkpoint else ResBlock
 
         emb = timestep_embedding_adm(t, mc)
         emb = nn.Dense(time_dim, dtype=self.dtype, name="time_dense_0")(emb.astype(self.dtype))
@@ -245,7 +247,7 @@ class UNetModel(nn.Module):
                     use_scale_shift_norm=self.use_scale_shift_norm,
                     dtype=self.dtype,
                     name=f"down_{level}_res_{i}",
-                )(h, emb, train=train)
+                )(h, emb, train)
                 if ds in attention_ds:
                     h = AttentionBlock(
                         self._num_heads_for(h.shape[-1]), dtype=self.dtype,
@@ -261,7 +263,7 @@ class UNetModel(nn.Module):
                         down=True,
                         dtype=self.dtype,
                         name=f"down_{level}_downres",
-                    )(h, emb, train=train)
+                    )(h, emb, train)
                 else:
                     h = Downsample(self.conv_resample, dtype=self.dtype, name=f"down_{level}_down")(h)
                 skips.append(h)
@@ -274,7 +276,7 @@ class UNetModel(nn.Module):
             use_scale_shift_norm=self.use_scale_shift_norm,
             dtype=self.dtype,
             name="mid_res_0",
-        )(h, emb, train=train)
+        )(h, emb, train)
         h = AttentionBlock(
             self._num_heads_for(h.shape[-1]), dtype=self.dtype,
             use_fused=self.fused_attention, name="mid_attn"
@@ -285,7 +287,7 @@ class UNetModel(nn.Module):
             use_scale_shift_norm=self.use_scale_shift_norm,
             dtype=self.dtype,
             name="mid_res_1",
-        )(h, emb, train=train)
+        )(h, emb, train)
 
         # Up path
         for level, mult in reversed(list(enumerate(self.channel_mult))):
@@ -298,7 +300,7 @@ class UNetModel(nn.Module):
                     use_scale_shift_norm=self.use_scale_shift_norm,
                     dtype=self.dtype,
                     name=f"up_{level}_res_{i}",
-                )(h, emb, train=train)
+                )(h, emb, train)
                 if ds in attention_ds:
                     h = AttentionBlock(
                         self._num_heads_for(h.shape[-1]), dtype=self.dtype,
@@ -313,7 +315,7 @@ class UNetModel(nn.Module):
                         up=True,
                         dtype=self.dtype,
                         name=f"up_{level}_upres",
-                    )(h, emb, train=train)
+                    )(h, emb, train)
                 else:
                     h = Upsample(self.conv_resample, dtype=self.dtype, name=f"up_{level}_up")(h)
                 ds //= 2

@@ -1,0 +1,90 @@
+"""Inference-CLI round trip: train a smoke model, then drive the infer and
+quality CLIs as subprocesses (the deployment path, SURVEY.md §3.3-3.4)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from src.train import train
+from stain2stain_tpu.config import compose
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+REPO_ROOT = CONFIG_DIR.parent
+
+TINY_NET_OVERRIDES = [
+    "model.net.dim=[3,32,32]",
+    "model.net.num_channels=8",
+    "model.net.num_res_blocks=1",
+    "model.net.channel_mult=[1,2]",
+    "model.net.attention_resolutions=''",
+    "model.net.num_heads=1",
+    "model.net.dropout=0.0",
+    "model.solver.solver=euler",
+]
+
+
+@pytest.fixture(scope="module")
+def smoke_ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("infer_rt")
+    cfg = compose(
+        CONFIG_DIR,
+        "train.yaml",
+        [
+            "experiment=smoke_synthetic",
+            f"data.data_dir={tmp}/synthetic",
+            "trainer.max_epochs=1",
+            "test=false",
+            "logger=csv",
+        ],
+    )
+    out = tmp / "out"
+    out.mkdir()
+    cfg["runtime"] = {"output_dir": str(out), "cwd": str(tmp)}
+    cfg["extras"]["print_config"] = False
+    cfg["extras"]["enforce_tags"] = False
+    _, objects = train(cfg)
+    return tmp, objects["trainer"].checkpoint_callback.last_model_path
+
+
+def run_cli(script, args, tmp, timeout=560):
+    cmd = [
+        sys.executable,
+        str(REPO_ROOT / "src" / script),
+        "data=synthetic",
+        f"data.data_dir={tmp}/synthetic",
+        f"paths.log_dir={tmp}/logs",
+        "extras.print_config=false",
+        "extras.enforce_tags=false",
+        *TINY_NET_OVERRIDES,
+        *args,
+    ]
+    return subprocess.run(cmd, cwd=REPO_ROOT, capture_output=True, text=True, timeout=timeout)
+
+
+def test_infer_simple_cli_writes_panels(smoke_ckpt):
+    tmp, ckpt = smoke_ckpt
+    res = run_cli(
+        "infer_simple_flowmatching.py",
+        [f"ckpt_path={ckpt}", "num_steps=2", "n_images=2"],
+        tmp,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    panels = list(Path(tmp, "logs").rglob("panels/*.png"))
+    assert len(panels) == 2
+
+
+def test_eval_quality_cli_reports_metrics(smoke_ckpt):
+    tmp, ckpt = smoke_ckpt
+    res = run_cli(
+        "eval_quality.py",
+        [f"ckpt_path={ckpt}", "num_steps=2", "+n_batches=1"],
+        tmp,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    metrics = json.loads(line)
+    assert {"ssim", "psnr"} <= set(metrics)
+    assert -1.0 <= metrics["ssim"] <= 1.0

@@ -187,3 +187,24 @@ def test_shared_encoder_batchnorm_mode():
     (bottleneck, _), updates = enc.apply(variables, x, train=True, mutable=["batch_stats"])
     assert bottleneck.shape == (2, 4, 4, 8)
     assert "batch_stats" in updates
+
+
+def test_unet_remat_knob_gradients():
+    # use_checkpoint (nn.remat) must trace/compile with static train flag and
+    # give the same loss/grads as the non-remat path.
+    import numpy as np
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 16, 3)), jnp.float32)
+    t = jnp.array([0.3, 0.7])
+    base = small_unet()
+    remat = base.clone(use_checkpoint=True)
+    variables = base.init(RNG, t, x)
+
+    def loss(net):
+        return lambda v: jnp.sum(jnp.square(net.apply(v, t, x, train=True, rngs={"dropout": jax.random.key(0)})))
+
+    l0, g0 = jax.value_and_grad(loss(base))(variables), None
+    l1 = jax.value_and_grad(loss(remat))(variables)
+    np.testing.assert_allclose(float(l0[0]), float(l1[0]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(l0[1]), jax.tree_util.tree_leaves(l1[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
