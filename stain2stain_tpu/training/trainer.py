@@ -109,6 +109,7 @@ class Trainer:
                 stacklevel=2,
             )
         self.detect_anomaly = detect_anomaly
+        self.val_check_interval = val_check_interval
         self.num_sanity_val_steps = num_sanity_val_steps
         self.deterministic = deterministic
         self.profiler = profiler
@@ -381,7 +382,7 @@ class Trainer:
                     break
                 for cb in self.callbacks:
                     cb.on_train_epoch_start(self, task)
-                self._run_train_epoch(task, train_loader, augment)
+                self._run_train_epoch(task, train_loader, augment, val_loader=val_loader)
                 for cb in self.callbacks:
                     cb.on_train_epoch_end(self, task)
 
@@ -402,9 +403,17 @@ class Trainer:
             for logger in self.loggers:
                 logger.finalize()
 
-    def _run_train_epoch(self, task, loader, augment) -> None:
+    def _run_train_epoch(self, task, loader, augment, val_loader=None) -> None:
         loader.set_epoch(0 if self._overfit else self.current_epoch)
         n_batches = self._limit(self.limit_train_batches, len(loader))
+        # Lightning val_check_interval semantics: int = every N train batches,
+        # float in (0, 1] = that fraction of the epoch.
+        val_every: Optional[int] = None
+        if val_loader is not None and self.val_check_interval:
+            if isinstance(self.val_check_interval, float) and 0 < self.val_check_interval <= 1:
+                val_every = max(1, int(n_batches * self.val_check_interval))
+            else:
+                val_every = max(1, int(self.val_check_interval))
         epoch_metrics: dict[str, list] = {}
         profiler_times: list[float] = []
         for i, batch in enumerate(loader):
@@ -428,6 +437,13 @@ class Trainer:
                 profiler_times.append(time.perf_counter() - t0)
             for cb in self.callbacks:
                 cb.on_train_batch_end(self, task, metrics)
+            if val_every and self.global_step % val_every == 0 and (i + 1) < n_batches:
+                # mid-epoch validation (val_check_interval), checkpoint/early-
+                # stop callbacks fire on it like an epoch-end validation
+                self._run_eval(val_loader, prefix="val")
+                self._track_best(task)
+                for cb in self.callbacks:
+                    cb.on_validation_epoch_end(self, task)
             if self.max_steps > 0 and self.global_step >= self.max_steps:
                 break
         means = {f"train/{k}": float(np.mean([np.asarray(v) for v in vs])) for k, vs in epoch_metrics.items()}

@@ -69,3 +69,20 @@ def test_train_metrics_improve_with_more_epochs(tmp_path):
     cfg = make_cfg(tmp_path, ["trainer.max_epochs=3", "test=false", "seed=3"])
     metrics, _ = train(cfg)
     assert metrics["val/loss"] < 1.0  # sanity: training moved the loss
+
+
+def test_val_check_interval_mid_epoch(tmp_path):
+    # validate every train batch: val/loss must appear before the epoch ends
+    cfg = make_cfg(
+        tmp_path,
+        ["trainer.max_epochs=1", "test=false", "+trainer.val_check_interval=1",
+         "trainer.limit_train_batches=2"],
+    )
+    metrics, objects = train(cfg)
+    assert "val/loss" in metrics
+    # 2 train batches with interval 1 → one mid-epoch val + the epoch-end val
+    csvs = list((tmp_path / "out").rglob("metrics.csv"))
+    assert csvs, "csv metrics not written"
+    rows = [l for l in csvs[0].read_text().splitlines()[1:] if l]
+    val_rows = [r for r in rows if r.split(",")[-1] or "val" in csvs[0].read_text().splitlines()[0]]
+    assert len(rows) >= 2
