@@ -1,23 +1,23 @@
 """Fused self-attention Pallas TPU kernel for the UNet attention blocks.
 
-Why: the ADM UNet attends over ≤32×32=1024 spatial tokens (mid block + any
-configured trunk resolutions). XLA's einsum path materializes the f32 logits
-tensor (B, H, T, T) to HBM — the single largest allocation in the train step
-(4 GB at batch 64, see bench OOM trace) — because the softmax sits between two
-matmuls. This kernel computes logits → softmax → weighted sum entirely in
-VMEM per (batch·head) grid step: T=1024, d≤128 means q/k/v slices (~0.4 MB)
-plus the T×T logits block (4 MB) fit comfortably in 16 MB VMEM, so nothing
-spills to HBM and attention memory drops from O(B·H·T²) to O(B·H·T·d).
+Why: the ADM UNet attends over the flattened spatial grid (1024 tokens at
+256px, 4096 at 512px). XLA's einsum path materializes the f32 logits tensor
+(B, H, T, T) in HBM — the single largest allocation in the train step (4 GB at
+256px batch 64, see bench OOM trace). This kernel keeps logits in VMEM.
 
-Backward is a custom VJP: one kernel per (batch·head) recomputes the softmax
-from the saved (m, l) row statistics and produces dq/dk/dv without ever
-storing probabilities — the standard flash-attention backward identities:
+Blocking: grid = (batch·heads, T/q_block). Each step loads one q block plus
+the FULL k/v for its (batch·head) — k/v are only T×d (≤0.5 MB at 4096×32), so
+per-row softmax completes in one step and no online-softmax accumulation is
+needed; the logits block is q_block×T (≤8 MB at q_block 512, T 4096). The
+q_block is the largest divisor of T ≤ 512.
 
-    p  = exp(s − m)/l
-    dv = pᵀ·do
-    dp = do·vᵀ,  Δ = rowsum(do ∘ o)
-    ds = p ∘ (dp − Δ)
-    dq = ds·k·scale,  dk = dsᵀ·q·scale
+Backward is a custom VJP with the flash-attention identities
+
+    p  = exp(s − m)/l,  Δ = rowsum(do ∘ o)
+    dv += pᵀ·do,  ds = p ∘ (do·vᵀ − Δ),  dq = ds·k·scale,  dk += dsᵀ·q·scale
+
+dq is per-q-block; dk/dv map every q step onto the same output block and
+accumulate across the (sequential) TPU grid, initialized at the first q step.
 
 Falls back to the plain einsum path off-TPU (CPU tests / virtual meshes).
 """
@@ -33,59 +33,80 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _q_block(t: int, cap: int = 512) -> int:
+    qb = min(t, cap)
+    while t % qb:
+        qb -= 1
+    return qb
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # (T, d)
-    k = k_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)  # (qb, d)
+    k = k_ref[0].astype(jnp.float32)  # (T, d)
     v = v_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
         q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (T, T)
-    m = jnp.max(s, axis=-1, keepdims=True)  # (T, 1)
+    )  # (qb, T)
+    m = jnp.max(s, axis=-1, keepdims=True)  # (qb, 1)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p / l, v, preferred_element_type=jnp.float32)  # (T, d)
+    o = jnp.dot(p / l, v, preferred_element_type=jnp.float32)  # (qb, d)
     o_ref[0] = o.astype(o_ref.dtype)
-    m_ref[0] = m  # (T, 1)
+    m_ref[0] = m
     l_ref[0] = l
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, m_ref, l_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)   # (qb, d)
+    k = k_ref[0].astype(jnp.float32)   # (T, d)
     v = v_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)   # (qb, d)
     do = do_ref[0].astype(jnp.float32)
-    m = m_ref[0]  # (T, 1)
+    m = m_ref[0]                        # (qb, 1)
     l = l_ref[0]
     s = jax.lax.dot_general(
         q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = jnp.exp(s - m) / l  # (T, T)
+    p = jnp.exp(s - m) / l  # (qb, T)
     dv = jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # pᵀ·do → (T, d)
+    )  # (T, d)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (T, T)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (T, 1)
+    )  # (qb, T)
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)
     ds = p * (dp - delta)
     dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
     dk = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    ) * scale  # (T, d)
     dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    # dk/dv blocks are revisited by every q step of this (batch·head);
+    # initialize on the first, accumulate after.
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        dk_ref[0] = (dk_ref[0].astype(jnp.float32) + dk).astype(dk_ref.dtype)
+        dv_ref[0] = (dv_ref[0].astype(jnp.float32) + dv).astype(dv_ref.dtype)
 
 
-def _tile_spec(t: int, d: int):
-    return pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+def _q_spec(qb: int, d: int):
+    return pl.BlockSpec((1, qb, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
 
 
-def _stat_spec(t: int):
-    # (BH, T, 1) layout: trailing singleton keeps the block TPU-tileable
-    return pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+def _kv_spec(t: int, d: int):
+    return pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _stat_spec(qb: int):
+    # trailing singleton keeps the block TPU-tileable
+    return pl.BlockSpec((1, qb, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -97,12 +118,12 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> j
 
 def _fwd(q, k, v, scale):
     bh, t, d = q.shape
-    spec = _tile_spec(t, d)
+    qb = _q_block(t)
     out, m, l = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
-        grid=(bh,),
-        in_specs=[spec, spec, spec],
-        out_specs=(spec, _stat_spec(t), _stat_spec(t)),
+        grid=(bh, t // qb),
+        in_specs=[_q_spec(qb, d), _kv_spec(t, d), _kv_spec(t, d)],
+        out_specs=(_q_spec(qb, d), _stat_spec(qb), _stat_spec(qb)),
         out_shape=(
             jax.ShapeDtypeStruct((bh, t, d), q.dtype),
             jax.ShapeDtypeStruct((bh, t, 1), jnp.float32),
@@ -120,13 +141,20 @@ def _fused_attention_fwd(q, k, v, scale):
 def _fused_attention_bwd(scale, residuals, do):
     q, k, v, out, m, l = residuals
     bh, t, d = q.shape
-    spec = _tile_spec(t, d)
-    stat_spec = _stat_spec(t)
+    qb = _q_block(t)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
-        grid=(bh,),
-        in_specs=[spec, spec, spec, spec, spec, stat_spec, stat_spec],
-        out_specs=(spec, spec, spec),
+        grid=(bh, t // qb),
+        in_specs=[
+            _q_spec(qb, d),      # q
+            _kv_spec(t, d),      # k
+            _kv_spec(t, d),      # v
+            _q_spec(qb, d),      # o
+            _q_spec(qb, d),      # do
+            _stat_spec(qb),      # m
+            _stat_spec(qb),      # l
+        ],
+        out_specs=(_q_spec(qb, d), _kv_spec(t, d), _kv_spec(t, d)),
         out_shape=(
             jax.ShapeDtypeStruct((bh, t, d), q.dtype),
             jax.ShapeDtypeStruct((bh, t, d), k.dtype),

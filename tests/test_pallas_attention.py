@@ -50,3 +50,14 @@ def test_attention_wrapper_any_backend():
     out = attention(q, k, v, head_dim=16)
     assert out.shape == (2, 64, 4, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.skipif(not on_tpu, reason="pallas kernel runs on TPU")
+def test_fused_attention_large_token_grid():
+    # 4096 tokens = the 512px mid-block; exercises q-blocking (T×T logits
+    # would need 67 MB VMEM without it)
+    rng = np.random.default_rng(4)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 4096, 32)), jnp.float32) for _ in range(3))
+    scale = 1.0 / np.sqrt(32)
+    out = jax.jit(lambda q, k, v: fused_attention(q, k, v, scale))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v, scale)), atol=2e-4)
