@@ -13,12 +13,21 @@ from .losses import (
     roi_weighted_mse,
     softmax_cross_entropy,
 )
+from .metrics import FeatureExtractor, evaluate_quality, fid, psnr, ssim
+from .pallas_attention import attention, fused_attention
 from .solvers import integrate, odeint_dopri5, odeint_fixed
 from .time_embedding import timestep_embedding_adm, timestep_embedding_sincos
 
 __all__ = [
     "ConditionalFlowMatcher",
     "TargetConditionalFlowMatcher",
+    "FeatureExtractor",
+    "attention",
+    "fused_attention",
+    "evaluate_quality",
+    "fid",
+    "psnr",
+    "ssim",
     "bce_with_logits",
     "center_resize",
     "charbonnier",
