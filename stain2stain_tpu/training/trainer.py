@@ -102,12 +102,6 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.gradient_clip_val = gradient_clip_val
         self.accumulate_grad_batches = max(1, accumulate_grad_batches)
-        if self.accumulate_grad_batches > 1:
-            warnings.warn(
-                "accumulate_grad_batches>1 is not yet implemented in the jitted "
-                "step (the reference never uses it); running without accumulation.",
-                stacklevel=2,
-            )
         self.detect_anomaly = detect_anomaly
         self.val_check_interval = val_check_interval
         self.num_sanity_val_steps = num_sanity_val_steps
@@ -282,21 +276,62 @@ class Trainer:
     def _compile_steps(self, task, augment: Optional[dict]) -> None:
         tx = self._tx
         clip = self.gradient_clip_val
+        accum = self.accumulate_grad_batches
 
         def train_step(state: TrainState, batch: tuple, rng: jax.Array):
             prep_rng, loss_rng = jax.random.split(jax.random.fold_in(rng, state.step))
             prepared = task.prepare_batch(batch, prep_rng, train=True, augment=augment)
 
-            def loss_fn(params):
+            def loss_fn_on(params, microbatch, mb_rng):
                 variables = {"params": params, **state.extra_vars}
                 loss, metrics, updates = task.loss_and_metrics(
-                    variables, prepared, loss_rng, train=True
+                    variables, microbatch, mb_rng, train=True
                 )
                 return loss, (metrics, updates)
 
-            (loss, (metrics, var_updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
+            if accum == 1:
+                (loss, (metrics, var_updates)), grads = jax.value_and_grad(
+                    loss_fn_on, has_aux=True
+                )(state.params, prepared, loss_rng)
+            else:
+                # Gradient accumulation: split the device batch into `accum`
+                # microbatches and lax.scan the fwd/bwd, averaging grads and
+                # metrics — one optimizer update per outer step (Lightning
+                # accumulate_grad_batches semantics, memory scaled by 1/accum).
+                micro = jax.tree_util.tree_map(
+                    lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]),
+                    prepared,
+                )
+                grad_fn = jax.value_and_grad(loss_fn_on, has_aux=True)
+
+                def scan_body(carry, inputs):
+                    grads_acc, metrics_acc, updates_prev = carry
+                    microbatch, mb_rng = inputs
+                    (loss, (metrics, updates)), grads = grad_fn(
+                        state.params, microbatch, mb_rng
+                    )
+                    grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                    metrics_acc = {k: metrics_acc[k] + metrics[k] for k in metrics_acc}
+                    return (grads_acc, metrics_acc, updates), None
+
+                zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+                # shape-only probe (no FLOPs) to build the scan carry structure
+                _, (metrics_sd, updates_sd) = jax.eval_shape(
+                    loss_fn_on, state.params, mb0, loss_rng
+                )
+                zero_metrics = {
+                    k: jnp.zeros(v.shape, v.dtype) for k, v in metrics_sd.items()
+                }
+                updates0 = jax.tree_util.tree_map(
+                    lambda v: jnp.zeros(v.shape, v.dtype), updates_sd
+                )
+                mb_rngs = jax.random.split(loss_rng, accum)
+                (grads, metrics_sum, var_updates), _ = jax.lax.scan(
+                    scan_body, (zero_grads, zero_metrics, updates0), (micro, mb_rngs)
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+                metrics = {k: v / accum for k, v in metrics_sum.items()}
             if clip:
                 gnorm = optax_global_norm(grads)
                 scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))

@@ -86,3 +86,17 @@ def test_val_check_interval_mid_epoch(tmp_path):
     rows = [l for l in csvs[0].read_text().splitlines()[1:] if l]
     val_rows = [r for r in rows if r.split(",")[-1] or "val" in csvs[0].read_text().splitlines()[0]]
     assert len(rows) >= 2
+
+
+def test_accumulate_grad_batches(tmp_path):
+    # accum=2 microbatches the jitted step: same number of optimizer updates,
+    # finite metrics, and the model still trains
+    cfg = make_cfg(
+        tmp_path,
+        ["trainer.max_epochs=1", "test=false", "+trainer.accumulate_grad_batches=2",
+         "data.batch_size=4"],
+    )
+    metrics, objects = train(cfg)
+    trainer = objects["trainer"]
+    assert trainer.global_step == 2  # 8 train tiles / batch 4 = 2 updates
+    assert 0.0 < metrics["train/loss"] < 10.0
