@@ -421,6 +421,7 @@ class Trainer:
                 for cb in self.callbacks:
                     cb.on_train_epoch_end(self, task)
 
+                self.log_metrics({"epoch": float(epoch)})
                 if val_loader is not None and (epoch + 1) % self.check_val_every_n_epoch == 0:
                     self._run_eval(val_loader, prefix="val")
                     self._track_best(task)

@@ -8,6 +8,8 @@ fast on TPU.
 import os
 from pathlib import Path
 
+import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from src.train import train
@@ -100,3 +102,33 @@ def test_accumulate_grad_batches(tmp_path):
     trainer = objects["trainer"]
     assert trainer.global_step == 2  # 8 train tiles / batch 4 = 2 updates
     assert 0.0 < metrics["train/loss"] < 10.0
+
+
+def test_precision_bf16_mixed(tmp_path):
+    cfg = make_cfg(
+        tmp_path,
+        ["trainer.max_epochs=1", "test=false", "+trainer.precision=bf16-mixed"],
+    )
+    metrics, objects = train(cfg)
+    assert np.isfinite(metrics["train/loss"])
+    # the task's net was switched to bf16 compute
+    assert objects["model"].net.dtype == jnp.bfloat16
+
+
+def test_profiler_simple_and_jax(tmp_path, capsys):
+    cfg = make_cfg(
+        tmp_path,
+        ["trainer.max_epochs=1", "test=false", "+trainer.profiler=simple",
+         "trainer.limit_train_batches=2"],
+    )
+    train(cfg)
+    assert "[profiler] train_step mean" in capsys.readouterr().out
+
+    cfg2 = make_cfg(
+        tmp_path,
+        ["trainer.max_epochs=1", "test=false", "+trainer.profiler=jax",
+         "trainer.limit_train_batches=1"],
+    )
+    train(cfg2)
+    traces = list((tmp_path / "out").rglob("profile/**/*"))
+    assert traces, "jax profiler trace not written"
