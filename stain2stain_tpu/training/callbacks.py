@@ -106,8 +106,6 @@ class ModelCheckpoint(Callback):
         if not trainer.is_global_zero or trainer.sanity_checking:
             return
         epoch = trainer.current_epoch
-        if (epoch + 1) % self.every_n_epochs != 0 and self.save_top_k != -1:
-            pass  # still allow last-saving below on the cadence
         metrics = trainer.callback_metrics
         base = self._dir(trainer)
 
