@@ -144,6 +144,14 @@ class DataLoader:
         batches: list[np.ndarray] = []
         for b in range(n_batches):
             chunk = indices[b * self.global_batch_size : (b + 1) * self.global_batch_size]
+            if self.num_shards > 1 and len(chunk) % self.num_shards:
+                # Ragged final global batch (eval, drop_last=False): pad to a
+                # multiple of the process count by repeating leading indices
+                # so every host gets an equal local batch —
+                # make_array_from_process_local_data requires it (same
+                # duplication semantics as the trainer's device padding).
+                pad = self.num_shards - len(chunk) % self.num_shards
+                chunk = np.concatenate([chunk, chunk[np.arange(pad) % len(chunk)]])
             # This process's shard of the global batch.
             local = chunk[self.shard_index :: self.num_shards]
             batches.append(local)
@@ -152,6 +160,18 @@ class DataLoader:
         stop = threading.Event()
 
         get_batch = getattr(self.dataset, "get_batch", None)
+
+        def bounded_put(item) -> bool:
+            # A consumer that exits the epoch early (limit_train_batches,
+            # max_steps, fast_dev_run) never drains the queue; a plain
+            # blocking put would park this thread forever on a full queue.
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
@@ -167,10 +187,11 @@ class DataLoader:
                         else:
                             samples = [self.dataset[int(i)] for i in local]
                         batch = self.collate_fn(samples)
-                    out_q.put(batch)
-                out_q.put(None)
+                    if not bounded_put(batch):
+                        return
+                bounded_put(None)
             except BaseException as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                bounded_put(e)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()

@@ -81,6 +81,18 @@ class PairedDataset(Dataset):
         self.return_filename = return_filename
         self.load_size = load_size if load_size is not None else image_size
         self.swap = direction in _REVERSE_DIRECTIONS
+        if direction != "S2T" and not self.swap:
+            import warnings
+
+            warnings.warn(
+                f"direction={direction!r} is treated as FORWARD (source→target) here. "
+                "The reference implementation swaps the pair for ANY value other than "
+                "the literal 'S2T' (/root/reference/src/data/paired_data_module.py:214), "
+                "so the same config there trains the REVERSE translation. Use "
+                "direction='S2T' for forward or one of "
+                f"{_REVERSE_DIRECTIONS} to swap, to be explicit.",
+                stacklevel=3,
+            )
 
         csv_path = os.path.join(data_dir, csv_file_name)
         if not os.path.exists(csv_path):

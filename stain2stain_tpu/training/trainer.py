@@ -422,12 +422,24 @@ class Trainer:
                     cb.on_train_epoch_end(self, task)
 
                 self.log_metrics({"epoch": float(epoch)})
-                if val_loader is not None and (epoch + 1) % self.check_val_every_n_epoch == 0:
+                ran_val = (
+                    val_loader is not None
+                    and (epoch + 1) % self.check_val_every_n_epoch == 0
+                )
+                if ran_val:
                     self._run_eval(val_loader, prefix="val")
                     self._track_best(task)
-                self._epoch_end_control_flow(task)
-                for cb in self.callbacks:
-                    cb.on_validation_epoch_end(self, task)
+                # Validation-dependent control flow (plateau scheduler, early
+                # stopping, checkpoint-on-monitor) only fires on epochs where
+                # validation actually ran — otherwise stale persisted metrics
+                # would trigger premature LR decay / early stop (Lightning
+                # semantics under check_val_every_n_epoch > 1). Without a val
+                # loader the callbacks run every epoch (save_last etc. must
+                # still happen; monitors are absent so nothing acts on them).
+                if ran_val or val_loader is None:
+                    self._epoch_end_control_flow(task)
+                    for cb in self.callbacks:
+                        cb.on_validation_epoch_end(self, task)
                 if self.max_steps > 0 and self.global_step >= self.max_steps:
                     break
         finally:
@@ -569,7 +581,21 @@ class Trainer:
             self._init_state(task, example)
         if self._eval_step_fn is None:
             self._compile_steps(task, augment=None)
-        if ckpt_path and ckpt_path != "last":
+        if ckpt_path in ("last", "best"):
+            # Lightning resolves the literals through the checkpoint callback;
+            # evaluating the in-memory weights instead would silently report
+            # wrong numbers (ref usage: /root/reference/src/train.py:120-127).
+            cb = self.checkpoint_callback
+            resolved = ""
+            if cb is not None:
+                resolved = cb.last_model_path if ckpt_path == "last" else cb.best_model_path
+            if not resolved:
+                raise ValueError(
+                    f'ckpt_path="{ckpt_path}" but no ModelCheckpoint callback has a '
+                    f"recorded {ckpt_path} checkpoint path; pass an explicit path"
+                )
+            ckpt_path = resolved
+        if ckpt_path:
             self._restore(ckpt_path, weights_only=True)
         metrics = self._run_eval(loader, prefix=split)
         return metrics
