@@ -16,7 +16,13 @@ from the published ADM design (Dhariwal & Nichol 2021):
 
 TPU-first choices: NHWC layout throughout (XLA's native conv layout on TPU),
 bf16 compute / f32 params via the ``dtype`` knob, attention in f32,
-``remat`` option for rematerialized res-blocks, static shapes everywhere.
+static shapes everywhere, and a two-tier rematerialization knob
+(``use_checkpoint``): ``"block"`` remats each res/attention block (saves every
+block input), ``"level"`` remats whole resolution levels (saves only level
+boundaries + skips — the layout that fits batch 64 @ 256px on one v5e chip).
+The up-path skip concatenation happens INSIDE the rematted region, so the
+double-width concat tensors — the dominant HLO temps at 256px — are
+recomputed in the backward instead of stored.
 
 The constructor keys are torchcfm-config-compatible (``dim``, ``num_channels``,
 ``attention_resolutions`` as a "16,8" string of feature sizes, ``channel_mult``,
@@ -33,6 +39,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stain2stain_tpu.ops.norms import group_norm, group_norm_film_silu, group_norm_silu
 from stain2stain_tpu.ops.time_embedding import timestep_embedding_adm
 
 
@@ -47,6 +54,32 @@ def _gn_groups(channels: int) -> int:
     while channels % groups:
         groups -= 1
     return groups
+
+
+class FusedGroupNorm(nn.Module):
+    """GroupNorm(32) with the fused, memory-lean custom-VJP ops (ops/norms.py).
+
+    ``tail``: "none" (plain GN), "silu" (GN→SiLU), "film_silu"
+    (GN→·(1+scale)+shift→SiLU). Statistics in f32, output in x.dtype; the
+    backward saves only (x, mean, rstd) instead of flax GroupNorm's f32
+    internals — the change that lets 256px batch 64 fit on one v5e chip.
+    eps=1e-5 matches torch.nn.GroupNorm (the reference's norm).
+    """
+
+    tail: str = "none"
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, scale=None, shift=None):
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        groups = _gn_groups(c)
+        if self.tail == "film_silu":
+            return group_norm_film_silu(x, gamma, beta, scale, shift, groups, self.eps)
+        if self.tail == "silu":
+            return group_norm_silu(x, gamma, beta, groups, self.eps)
+        return group_norm(x, gamma, beta, groups, self.eps)
 
 
 class ResBlock(nn.Module):
@@ -64,8 +97,7 @@ class ResBlock(nn.Module):
         # ``train`` is positional (not keyword-only) so nn.remat can mark it
         # static (static_argnums) — a traced bool breaks dropout's branch.
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=_gn_groups(in_ch), dtype=jnp.float32)(x)
-        h = nn.silu(h).astype(self.dtype)
+        h = FusedGroupNorm(tail="silu", name="norm_in")(x).astype(self.dtype)
 
         if self.up:
             h = _upsample_nearest(h)
@@ -82,13 +114,10 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = nn.GroupNorm(num_groups=_gn_groups(self.out_channels), dtype=jnp.float32)(h)
-            h = h.astype(self.dtype) * (1.0 + scale) + shift
-            h = nn.silu(h)
+            h = FusedGroupNorm(tail="film_silu", name="norm_out")(h, scale, shift)
         else:
-            h = h + emb_out
-            h = nn.GroupNorm(num_groups=_gn_groups(self.out_channels), dtype=jnp.float32)(h)
-            h = nn.silu(h).astype(self.dtype)
+            h = FusedGroupNorm(tail="silu", name="norm_out")(h + emb_out)
+        h = h.astype(self.dtype)
 
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(
@@ -124,7 +153,7 @@ class AttentionBlock(nn.Module):
 
         batch, height, width, chans = x.shape
         head_dim = chans // self.num_heads
-        h = nn.GroupNorm(num_groups=_gn_groups(chans), dtype=jnp.float32)(x).astype(self.dtype)
+        h = FusedGroupNorm(name="norm")(x).astype(self.dtype)
         h = h.reshape(batch, height * width, chans)
         qkv = nn.Dense(3 * chans, dtype=self.dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -168,11 +197,196 @@ class Upsample(nn.Module):
         return x
 
 
+class _DownBlock(nn.Module):
+    """One down-path unit: ResBlock (+ optional attention)."""
+
+    out_channels: int
+    heads: int  # 0 = no attention at this resolution
+    dropout: float
+    use_scale_shift_norm: bool
+    fused_attention: Optional[bool]
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, h: jax.Array, emb: jax.Array, train: bool) -> jax.Array:
+        h = ResBlock(
+            self.out_channels,
+            dropout=self.dropout,
+            use_scale_shift_norm=self.use_scale_shift_norm,
+            dtype=self.dtype,
+            name="res",
+        )(h, emb, train)
+        if self.heads:
+            h = AttentionBlock(
+                self.heads, dtype=self.dtype, use_fused=self.fused_attention, name="attn"
+            )(h)
+        return h
+
+
+class _UpBlock(nn.Module):
+    """One up-path unit: skip concat + ResBlock (+ optional attention).
+
+    The concat lives inside so that under remat the double-width tensor is a
+    backward-recomputed temp, not a stored residual.
+    """
+
+    out_channels: int
+    heads: int
+    dropout: float
+    use_scale_shift_norm: bool
+    fused_attention: Optional[bool]
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, h: jax.Array, skip: jax.Array, emb: jax.Array, train: bool) -> jax.Array:
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = ResBlock(
+            self.out_channels,
+            dropout=self.dropout,
+            use_scale_shift_norm=self.use_scale_shift_norm,
+            dtype=self.dtype,
+            name="res",
+        )(h, emb, train)
+        if self.heads:
+            h = AttentionBlock(
+                self.heads, dtype=self.dtype, use_fused=self.fused_attention, name="attn"
+            )(h)
+        return h
+
+
+class _DownLevel(nn.Module):
+    """One down-path resolution level: res/attn blocks + trailing downsample.
+
+    The downsample lives INSIDE the level so that under level-granular remat
+    the region's output (the next level's saved input) is the small
+    post-downsample tensor, not a full-resolution one.
+    """
+
+    out_channels: int
+    num_res_blocks: int
+    heads: int
+    dropout: float
+    use_scale_shift_norm: bool
+    fused_attention: Optional[bool]
+    remat_blocks: bool
+    dtype: Any
+    downsample: str = "none"  # "none" | "conv" | "pool" | "res"
+
+    @nn.compact
+    def __call__(self, h: jax.Array, emb: jax.Array, train: bool):
+        block_cls = (
+            nn.remat(_DownBlock, static_argnums=(3,)) if self.remat_blocks else _DownBlock
+        )
+        skips = []
+        for i in range(self.num_res_blocks):
+            h = block_cls(
+                self.out_channels,
+                self.heads,
+                self.dropout,
+                self.use_scale_shift_norm,
+                self.fused_attention,
+                self.dtype,
+                name=f"block_{i}",
+            )(h, emb, train)
+            skips.append(h)
+        if self.downsample == "res":
+            res_cls = nn.remat(ResBlock, static_argnums=(3,)) if self.remat_blocks else ResBlock
+            h = res_cls(
+                h.shape[-1],
+                dropout=self.dropout,
+                use_scale_shift_norm=self.use_scale_shift_norm,
+                down=True,
+                dtype=self.dtype,
+                name="down",
+            )(h, emb, train)
+            skips.append(h)
+        elif self.downsample in ("conv", "pool"):
+            h = Downsample(self.downsample == "conv", dtype=self.dtype, name="down")(h)
+            skips.append(h)
+        return h, tuple(skips)
+
+
+class _UpLevel(nn.Module):
+    """One up-path resolution level: leading upsample + res/attn blocks.
+
+    The upsample belongs to the START of the level (not the end of the
+    previous one) so the saved region input is the low-resolution tensor —
+    4× smaller than the upsampled activation it recomputes.
+    """
+
+    out_channels: int
+    num_res_blocks: int
+    heads: int
+    dropout: float
+    use_scale_shift_norm: bool
+    fused_attention: Optional[bool]
+    remat_blocks: bool
+    dtype: Any
+    upsample: str = "none"  # "none" | "conv" | "pool" | "res"
+
+    @nn.compact
+    def __call__(self, h: jax.Array, skips: tuple, emb: jax.Array, train: bool) -> jax.Array:
+        if self.upsample == "res":
+            res_cls = nn.remat(ResBlock, static_argnums=(3,)) if self.remat_blocks else ResBlock
+            h = res_cls(
+                h.shape[-1],
+                dropout=self.dropout,
+                use_scale_shift_norm=self.use_scale_shift_norm,
+                up=True,
+                dtype=self.dtype,
+                name="up",
+            )(h, emb, train)
+        elif self.upsample in ("conv", "pool"):
+            h = Upsample(self.upsample == "conv", dtype=self.dtype, name="up")(h)
+        block_cls = (
+            nn.remat(_UpBlock, static_argnums=(4,)) if self.remat_blocks else _UpBlock
+        )
+        for i in range(self.num_res_blocks + 1):
+            h = block_cls(
+                self.out_channels,
+                self.heads,
+                self.dropout,
+                self.use_scale_shift_norm,
+                self.fused_attention,
+                self.dtype,
+                name=f"block_{i}",
+            )(h, skips[i], emb, train)
+        return h
+
+
+class _MidBlocks(nn.Module):
+    """Bottleneck: ResBlock → attention → ResBlock."""
+
+    heads: int
+    dropout: float
+    use_scale_shift_norm: bool
+    fused_attention: Optional[bool]
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, h: jax.Array, emb: jax.Array, train: bool) -> jax.Array:
+        kw = dict(
+            dropout=self.dropout,
+            use_scale_shift_norm=self.use_scale_shift_norm,
+            dtype=self.dtype,
+        )
+        h = ResBlock(h.shape[-1], name="res_0", **kw)(h, emb, train)
+        h = AttentionBlock(
+            self.heads, dtype=self.dtype, use_fused=self.fused_attention, name="attn"
+        )(h)
+        h = ResBlock(h.shape[-1], name="res_1", **kw)(h, emb, train)
+        return h
+
+
 class UNetModel(nn.Module):
     """Config-compatible ADM UNet: ``apply(vars, t, x, y=None, train=...)``.
 
     ``dim``: (C, H, W) of the input; ``attention_resolutions``: comma string of
     feature-map sizes ("16,8"), or an explicit sequence of downsample ratios.
+    ``use_checkpoint``: False (store everything), True/"block" (remat each
+    res/attn block), or "level" (remat whole resolution levels — least memory,
+    same recompute FLOPs as "block"; parameter structure is identical across
+    all modes so checkpoints are interchangeable).
     """
 
     dim: Sequence[int] = (3, 256, 256)
@@ -189,7 +403,7 @@ class UNetModel(nn.Module):
     num_classes: Optional[int] = None
     out_channels: Optional[int] = None  # defaults to dim[0]
     conv_resample: bool = True
-    use_checkpoint: bool = False  # remat res-blocks to trade FLOPs for HBM
+    use_checkpoint: Any = False  # False | True/"block" | "level"
     fused_attention: Optional[bool] = None  # None = Pallas kernel on TPU
     dtype: Any = jnp.float32
 
@@ -208,6 +422,16 @@ class UNetModel(nn.Module):
             return max(chans // self.num_head_channels, 1)
         return self.num_heads
 
+    def _remat_mode(self) -> Optional[str]:
+        if self.use_checkpoint is True:
+            return "block"
+        if not self.use_checkpoint:
+            return None
+        mode = str(self.use_checkpoint)
+        if mode not in ("block", "level"):
+            raise ValueError(f"use_checkpoint must be False/True/'block'/'level', got {mode!r}")
+        return mode
+
     @nn.compact
     def __call__(
         self,
@@ -223,7 +447,16 @@ class UNetModel(nn.Module):
         mc = self.num_channels
         time_dim = mc * 4
         attention_ds = self._attention_ds()
-        res_block = nn.remat(ResBlock, static_argnums=(3,)) if self.use_checkpoint else ResBlock
+        mode = self._remat_mode()
+        remat_blocks = mode == "block"
+        down_level_cls = (
+            nn.remat(_DownLevel, static_argnums=(3,)) if mode == "level" else _DownLevel
+        )
+        up_level_cls = (
+            nn.remat(_UpLevel, static_argnums=(4,)) if mode == "level" else _UpLevel
+        )
+        mid_cls = nn.remat(_MidBlocks, static_argnums=(3,)) if mode else _MidBlocks
+        resample = "res" if self.resblock_updown else ("conv" if self.conv_resample else "pool")
 
         emb = timestep_embedding_adm(t, mc)
         emb = nn.Dense(time_dim, dtype=self.dtype, name="time_dense_0")(emb.astype(self.dtype))
@@ -238,92 +471,61 @@ class UNetModel(nn.Module):
         h = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="conv_stem")(x.astype(self.dtype))
         skips = [h]
         ds = 1
+        n_levels = len(self.channel_mult)
+        level_cfg = []  # (level, mult, heads) for the up path
         # Down path
         for level, mult in enumerate(self.channel_mult):
-            for i in range(self.num_res_blocks):
-                h = res_block(
-                    mult * mc,
-                    dropout=self.dropout,
-                    use_scale_shift_norm=self.use_scale_shift_norm,
-                    dtype=self.dtype,
-                    name=f"down_{level}_res_{i}",
-                )(h, emb, train)
-                if ds in attention_ds:
-                    h = AttentionBlock(
-                        self._num_heads_for(h.shape[-1]), dtype=self.dtype,
-                        use_fused=self.fused_attention, name=f"down_{level}_attn_{i}"
-                    )(h)
-                skips.append(h)
-            if level != len(self.channel_mult) - 1:
-                if self.resblock_updown:
-                    h = res_block(
-                        h.shape[-1],
-                        dropout=self.dropout,
-                        use_scale_shift_norm=self.use_scale_shift_norm,
-                        down=True,
-                        dtype=self.dtype,
-                        name=f"down_{level}_downres",
-                    )(h, emb, train)
-                else:
-                    h = Downsample(self.conv_resample, dtype=self.dtype, name=f"down_{level}_down")(h)
-                skips.append(h)
+            heads = self._num_heads_for(mult * mc) if ds in attention_ds else 0
+            level_cfg.append((level, mult, heads))
+            last = level == n_levels - 1
+            h, level_skips = down_level_cls(
+                mult * mc,
+                self.num_res_blocks,
+                heads,
+                self.dropout,
+                self.use_scale_shift_norm,
+                self.fused_attention,
+                remat_blocks,
+                self.dtype,
+                downsample="none" if last else resample,
+                name=f"down_{level}",
+            )(h, emb, train)
+            skips.extend(level_skips)
+            if not last:
                 ds *= 2
 
         # Middle
-        h = res_block(
-            h.shape[-1],
-            dropout=self.dropout,
-            use_scale_shift_norm=self.use_scale_shift_norm,
-            dtype=self.dtype,
-            name="mid_res_0",
-        )(h, emb, train)
-        h = AttentionBlock(
-            self._num_heads_for(h.shape[-1]), dtype=self.dtype,
-            use_fused=self.fused_attention, name="mid_attn"
-        )(h)
-        h = res_block(
-            h.shape[-1],
-            dropout=self.dropout,
-            use_scale_shift_norm=self.use_scale_shift_norm,
-            dtype=self.dtype,
-            name="mid_res_1",
+        h = mid_cls(
+            self._num_heads_for(h.shape[-1]),
+            self.dropout,
+            self.use_scale_shift_norm,
+            self.fused_attention,
+            self.dtype,
+            name="mid",
         )(h, emb, train)
 
-        # Up path
-        for level, mult in reversed(list(enumerate(self.channel_mult))):
-            for i in range(self.num_res_blocks + 1):
-                skip = skips.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = res_block(
-                    mult * mc,
-                    dropout=self.dropout,
-                    use_scale_shift_norm=self.use_scale_shift_norm,
-                    dtype=self.dtype,
-                    name=f"up_{level}_res_{i}",
-                )(h, emb, train)
-                if ds in attention_ds:
-                    h = AttentionBlock(
-                        self._num_heads_for(h.shape[-1]), dtype=self.dtype,
-                        use_fused=self.fused_attention, name=f"up_{level}_attn_{i}"
-                    )(h)
-            if level != 0:
-                if self.resblock_updown:
-                    h = res_block(
-                        h.shape[-1],
-                        dropout=self.dropout,
-                        use_scale_shift_norm=self.use_scale_shift_norm,
-                        up=True,
-                        dtype=self.dtype,
-                        name=f"up_{level}_upres",
-                    )(h, emb, train)
-                else:
-                    h = Upsample(self.conv_resample, dtype=self.dtype, name=f"up_{level}_up")(h)
+        # Up path: each level upsamples its low-res input first (except the
+        # bottom level, which runs at the middle block's resolution).
+        for level, mult, heads in reversed(level_cfg):
+            level_skips = tuple(skips.pop() for _ in range(self.num_res_blocks + 1))
+            h = up_level_cls(
+                mult * mc,
+                self.num_res_blocks,
+                heads,
+                self.dropout,
+                self.use_scale_shift_norm,
+                self.fused_attention,
+                remat_blocks,
+                self.dtype,
+                upsample="none" if level == n_levels - 1 else resample,
+                name=f"up_{level}",
+            )(h, level_skips, emb, train)
+            if level != n_levels - 1:
                 ds //= 2
 
         assert not skips, "skip bookkeeping mismatch"
         out_ch = self.out_channels if self.out_channels is not None else self.dim[0]
-        h = nn.GroupNorm(num_groups=_gn_groups(h.shape[-1]), dtype=jnp.float32)(h)
-        h = nn.silu(h).astype(self.dtype)
+        h = FusedGroupNorm(tail="silu", name="norm_final")(h).astype(self.dtype)
         h = nn.Conv(
             out_ch, (3, 3), padding=1, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="conv_out"
         )(h)

@@ -53,8 +53,8 @@ def test_unet_attention_resolution_parsing():
         net.init(RNG, jnp.array([0.5, 0.5]), jnp.zeros((2, 32, 32, 3)))
     )
     joined = " ".join(jax.tree_util.keystr(p) for p, _ in names)
-    assert "down_1_attn_0" in joined and "mid_attn" in joined
-    assert "down_0_attn" not in joined  # no attention at ds=1
+    assert "['down_1']['block_0']['attn']" in joined and "['mid']['attn']" in joined
+    assert "['down_0']['block_0']['attn']" not in joined  # no attention at ds=1
 
 
 def test_unet_class_conditional():
@@ -189,22 +189,66 @@ def test_shared_encoder_batchnorm_mode():
     assert "batch_stats" in updates
 
 
-def test_unet_remat_knob_gradients():
-    # use_checkpoint (nn.remat) must trace/compile with static train flag and
-    # give the same loss/grads as the non-remat path.
+@pytest.mark.parametrize("mode", [True, "block", "level"])
+def test_unet_remat_knob_gradients(mode):
+    # use_checkpoint must trace/compile with static train flag, accept the
+    # SAME variables as the non-remat module (parameter-structure contract),
+    # and give the same loss/grads. Params are randomized away from the
+    # zero-init output conv — with it, the loss gradient is identically zero
+    # and the comparison would be vacuous.
     import numpy as np
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 16, 3)), jnp.float32)
     t = jnp.array([0.3, 0.7])
-    base = small_unet()
-    remat = base.clone(use_checkpoint=True)
+    base = small_unet(dropout=0.1)
+    remat = base.clone(use_checkpoint=mode)
     variables = base.init(RNG, t, x)
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.key(7), len(leaves))
+    variables = jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, l.shape, l.dtype) * 0.05 for k, l in zip(keys, leaves)]
+    )
 
     def loss(net):
         return lambda v: jnp.sum(jnp.square(net.apply(v, t, x, train=True, rngs={"dropout": jax.random.key(0)})))
 
-    l0, g0 = jax.value_and_grad(loss(base))(variables), None
-    l1 = jax.value_and_grad(loss(remat))(variables)
-    np.testing.assert_allclose(float(l0[0]), float(l1[0]), rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(l0[1]), jax.tree_util.tree_leaves(l1[1])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    l0, g0 = jax.value_and_grad(loss(base))(variables)
+    l1, g1 = jax.value_and_grad(loss(remat))(variables)
+    assert float(l0) > 0
+    scale = max(float(jnp.abs(a).max()) for a in jax.tree_util.tree_leaves(g0))
+    assert scale > 0, "gradient comparison would be vacuous"
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3 * max(scale, 1.0))
+
+
+@pytest.mark.slow
+def test_unet_512_train_step_compiles_cpu():
+    # The reference's default tile size is 512 (configs/data/paired_data.yaml:8).
+    # The axon remote-compile helper on this box crashes on 512px fwd+bwd
+    # programs (infrastructure); prove the framework side — trace, lower and
+    # compile the full flagship-architecture 512 grad step — on the CPU
+    # backend instead.
+    import jax
+    import numpy as np
+
+    cpu = jax.devices("cpu")[0]
+    net = UNetModel(
+        dim=(3, 512, 512), num_channels=128, num_res_blocks=2, channel_mult=(1, 2, 2, 4),
+        attention_resolutions="16,8", num_heads=4, num_head_channels=32,
+        use_scale_shift_norm=True, use_checkpoint="level", dropout=0.1,
+        fused_attention=False,  # Pallas kernels don't lower for CPU
+    )
+    x = jnp.zeros((1, 512, 512, 3), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    variables = jax.eval_shape(lambda: net.init(RNG, t, x))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype, device=cpu), variables
+    )
+
+    def loss(v):
+        out = net.apply(v, t, x, train=True, rngs={"dropout": jax.random.key(0)})
+        return jnp.sum(jnp.square(out))
+
+    compiled = jax.jit(jax.grad(loss), device=cpu).lower(variables).compile()
+    assert compiled is not None
