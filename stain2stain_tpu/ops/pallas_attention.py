@@ -33,8 +33,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _q_block(t: int, cap: int = 512) -> int:
-    qb = min(t, cap)
+# VMEM spent on (qb, T) f32 logits-class buffers per kernel instance. The
+# forward keeps 2 such buffers (s, p); the backward ~4 (s/p, dp, ds + slack).
+# v5e VMEM is ~16 MB/core — leave headroom for q/k/v/o blocks and double
+# buffering. At T=1024 (256px mid block) this reproduces qb=512; at T=4096
+# (512px mid block) it shrinks qb to fit — an unbounded qb overflowed VMEM
+# and crashed the TPU compiler on every 512px backward.
+_VMEM_LOGITS_BUDGET = 10 * 2**20
+
+# Above this token count even the full-T k/v residency stops making sense;
+# attention() falls back to the einsum path (XLA).
+MAX_FUSED_TOKENS = 32768
+
+
+def _q_block(t: int, n_logit_bufs: int = 2, cap: int = 512) -> int:
+    limit = max(8, _VMEM_LOGITS_BUDGET // (n_logit_bufs * 4 * t))
+    qb = min(t, cap, limit)
     while t % qb:
         qb -= 1
     return qb
@@ -118,7 +132,7 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> j
 
 def _fwd(q, k, v, scale):
     bh, t, d = q.shape
-    qb = _q_block(t)
+    qb = _q_block(t, n_logit_bufs=2)
     out, m, l = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
         grid=(bh, t // qb),
@@ -141,7 +155,7 @@ def _fused_attention_fwd(q, k, v, scale):
 def _fused_attention_bwd(scale, residuals, do):
     q, k, v, out, m, l = residuals
     bh, t, d = q.shape
-    qb = _q_block(t)
+    qb = _q_block(t, n_logit_bufs=4)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
         grid=(bh, t // qb),
@@ -157,11 +171,14 @@ def _fused_attention_bwd(scale, residuals, do):
         out_specs=(_q_spec(qb, d), _kv_spec(t, d), _kv_spec(t, d)),
         out_shape=(
             jax.ShapeDtypeStruct((bh, t, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, t, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, t, d), v.dtype),
+            # dk/dv accumulate across all q-block grid steps — keep the
+            # accumulator f32 regardless of input dtype (bf16 would round on
+            # every step) and cast once at the end.
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
         ),
     )(q, k, v, out, do, m, l)
-    return dq, dk, dv
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
@@ -182,6 +199,10 @@ def attention(
     scale = 1.0 / math.sqrt(head_dim)
     if use_fused is None:
         use_fused = jax.default_backend() == "tpu"
+    if t > MAX_FUSED_TOKENS:
+        # beyond full-T k/v VMEM residency; degenerate configs (e.g. attention
+        # at full 512² resolution) go through XLA instead
+        use_fused = False
     if use_fused:
         def fold(x):
             return x.transpose(0, 2, 1, 3).reshape(batch * heads, t, d)

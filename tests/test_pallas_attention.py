@@ -61,3 +61,23 @@ def test_fused_attention_large_token_grid():
     scale = 1.0 / np.sqrt(32)
     out = jax.jit(lambda q, k, v: fused_attention(q, k, v, scale))(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v, scale)), atol=2e-4)
+
+
+def test_q_block_respects_vmem_budget():
+    # Unbounded q_block at T=4096 (512px mid block) put ~4 logits-sized f32
+    # buffers (32 MB) in VMEM and crashed the TPU compiler; the budgeted
+    # sizing keeps them ≤ ~10 MB while preserving qb=512 at T≤1024 (the 256px
+    # operating point's measured-optimal block).
+    from stain2stain_tpu.ops.pallas_attention import _q_block
+
+    assert _q_block(256, 2) == 256
+    assert _q_block(1024, 2) == 512
+    assert _q_block(1024, 4) == 512
+    assert _q_block(2048, 4) == 256
+    assert _q_block(4096, 2) == 256
+    assert _q_block(4096, 4) == 128
+    for t in (256, 1024, 2048, 4096, 16384):
+        for n in (2, 4):
+            qb = _q_block(t, n)
+            assert t % qb == 0
+            assert n * 4 * t * qb <= 10 * 2**20 or qb == 8
