@@ -87,34 +87,51 @@ def ssim(
 class FeatureExtractor:
     """Image → feature vectors for FID.
 
-    ``kind='auto'``: InceptionV3 pool3 (2048-d) if torchvision weights are
-    locally available, else the deterministic random-feature CNN (512-d).
+    ``kind='auto'``: the first-party JAX InceptionV3 pool3 (2048-d,
+    ops/inception.py — the pytorch-fid-compatible extractor) when converted
+    weights are present (``S2S_INCEPTION_WEIGHTS`` or
+    ``<repo>/weights/inception_v3_fid.npz``; see
+    scripts/convert_inception_weights.py), else the deterministic
+    random-feature CNN (512-d). ``kind='inception'`` demands real weights and
+    raises when they are absent — FIDs from the fallback are NOT comparable
+    to published Inception-FID values.
     """
 
-    def __init__(self, kind: str = "auto", feature_dim: int = 512, seed: int = 0):
+    def __init__(self, kind: str = "auto", feature_dim: int = 512, seed: int = 0,
+                 weights_path: str | None = None):
         self.kind = kind
         self.feature_dim = feature_dim
         self.seed = seed
-        self._inception = None
+        self._inception_params = None
+        self._inception_fn = None
         self._random_params = None
         if kind in ("auto", "inception"):
-            self._inception = self._try_inception()
-            if self._inception is None and kind == "inception":
-                raise RuntimeError("InceptionV3 weights unavailable offline")
-        self.name = "inception_v3" if self._inception is not None else f"random_cnn_{feature_dim}_seed{seed}"
+            self._inception_params = self._try_inception(weights_path)
+            if self._inception_params is None and kind == "inception":
+                raise RuntimeError(
+                    "InceptionV3 weights unavailable — convert them with "
+                    "scripts/convert_inception_weights.py and set S2S_INCEPTION_WEIGHTS"
+                )
+        self.name = (
+            "inception_v3_fid"
+            if self._inception_params is not None
+            else f"random_cnn_{feature_dim}_seed{seed}"
+        )
 
     @staticmethod
-    def _try_inception():
-        try:
-            import torch
-            from torchvision.models import Inception_V3_Weights, inception_v3
+    def _try_inception(weights_path=None):
+        from stain2stain_tpu.ops import inception
 
-            model = inception_v3(weights=Inception_V3_Weights.IMAGENET1K_V1)
-            model.fc = torch.nn.Identity()
-            model.eval()
-            return model
-        except Exception:
-            return None
+        try:
+            if weights_path is not None:
+                return inception.load_params(weights_path)
+            if inception.weights_available():
+                return inception.load_params()
+        except Exception as e:  # corrupt/mismatched file → fall back loudly
+            import warnings
+
+            warnings.warn(f"InceptionV3 weights failed to load ({e}); using random-feature FID")
+        return None
 
     def _random_cnn(self, x: jax.Array) -> jax.Array:
         """Fixed-seed 4-layer strided conv net + global mean pool (jitted)."""
@@ -141,16 +158,13 @@ class FeatureExtractor:
 
     def __call__(self, images) -> np.ndarray:
         """images: (B, H, W, 3) in [0, 1] → (B, D) float64 features."""
-        if self._inception is not None:
-            import torch
-            import torch.nn.functional as F
+        if self._inception_params is not None:
+            from stain2stain_tpu.ops.inception import pool3_features
 
-            with torch.no_grad():
-                t = torch.from_numpy(np.asarray(images, dtype=np.float32)).permute(0, 3, 1, 2)
-                t = F.interpolate(t, size=(299, 299), mode="bilinear", align_corners=False)
-                t = (t - 0.5) / 0.5
-                feats = self._inception(t)
-            return feats.numpy().astype(np.float64)
+            if self._inception_fn is None:
+                self._inception_fn = jax.jit(pool3_features)
+            feats = self._inception_fn(self._inception_params, jnp.asarray(images, jnp.float32))
+            return np.asarray(feats, dtype=np.float64)
         return np.asarray(self._random_cnn(jnp.asarray(images)), dtype=np.float64)
 
 
