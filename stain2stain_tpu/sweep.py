@@ -142,31 +142,109 @@ class Sweeper:
     sampler: Optional[TPESampler] = None
     params: Optional[dict] = None
     study_name: Optional[str] = None
-    storage: Optional[str] = None  # parity knob (optuna RDB storage), unused
-    n_jobs: int = 1  # parity knob; trials run sequentially on one host
+    # Study persistence (optuna RDB-storage equivalent): a JSONL journal, one
+    # record per attempted trial. An interrupted sweep relaunched with the
+    # same storage resumes after the recorded trials (history seeds the
+    # sampler; completed attempts count toward n_trials). RDB URL prefixes
+    # like sqlite:/// are accepted and mapped to a sibling .jsonl file.
+    storage: Optional[str] = None
+    # Concurrent trials (optuna n_jobs equivalent): trials run in a thread
+    # pool, n_jobs at a time, each batch sampled from the shared history.
+    # On a single accelerator the speedup is bounded by host/compile overlap.
+    n_jobs: int = 1
+
+    def _journal_path(self):
+        if not self.storage:
+            return None
+        from pathlib import Path
+
+        s = str(self.storage)
+        if "://" in s:  # sqlite:///study.db and friends
+            s = s.split("://", 1)[1].lstrip("/")
+            s += ".jsonl"
+        p = Path(s)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def _load_journal(self) -> list[dict]:
+        import json
+
+        path = self._journal_path()
+        if path is None or not path.exists():
+            return []
+        records = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    records.append(json.loads(line))
+        if records:
+            log.info(f"Resuming study from {path}: {len(records)} recorded trials")
+        return records
+
+    def _append_journal(self, record: dict) -> None:
+        import json
+
+        path = self._journal_path()
+        if path is None:
+            return
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     def optimize(self, objective: Callable[[dict], float]) -> tuple[float, dict]:
         sampler = self.sampler or TPESampler()
         spaces = {k: parse_param(v) for k, v in (self.params or {}).items()}
-        history: list[tuple[dict, float]] = []
+        records = self._load_journal()
+        history: list[tuple[dict, float]] = [
+            (r["params"], r["value"]) for r in records if r.get("value") is not None
+        ]
         best_val, best_params = None, {}
-        for trial in range(self.n_trials):
-            assignment = sampler.suggest(spaces, history, self.direction)
-            log.info(f"Trial {trial}/{self.n_trials}: {assignment}")
-            try:
-                value = float(objective(assignment))
-            except Exception as ex:  # a failing trial must not kill the study
-                log.warning(f"Trial {trial} failed: {ex}")
-                continue
-            history.append((assignment, value))
-            better = (
+        for params, value in history:
+            if (
                 best_val is None
                 or (self.direction == "maximize" and value > best_val)
                 or (self.direction == "minimize" and value < best_val)
-            )
-            if better:
-                best_val, best_params = value, assignment
-            log.info(f"Trial {trial} value={value:.5f} (best={best_val:.5f})")
+            ):
+                best_val, best_params = value, params
+
+        def run_one(trial: int, assignment: dict):
+            log.info(f"Trial {trial}/{self.n_trials}: {assignment}")
+            try:
+                return float(objective(assignment))
+            except Exception as ex:  # a failing trial must not kill the study
+                log.warning(f"Trial {trial} failed: {ex}")
+                return None
+
+        attempts = len(records)
+        n_jobs = max(1, int(self.n_jobs))
+        while attempts < self.n_trials:
+            batch = min(n_jobs, self.n_trials - attempts)
+            assignments = [
+                sampler.suggest(spaces, history, self.direction) for _ in range(batch)
+            ]
+            if batch == 1:
+                values = [run_one(attempts, assignments[0])]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=batch) as pool:
+                    values = list(
+                        pool.map(run_one, range(attempts, attempts + batch), assignments)
+                    )
+            for assignment, value in zip(assignments, values):
+                self._append_journal({"trial": attempts, "params": assignment, "value": value})
+                attempts += 1
+                if value is None:
+                    continue
+                history.append((assignment, value))
+                better = (
+                    best_val is None
+                    or (self.direction == "maximize" and value > best_val)
+                    or (self.direction == "minimize" and value < best_val)
+                )
+                if better:
+                    best_val, best_params = value, assignment
+                log.info(f"Trial {attempts - 1} value={value:.5f} (best={best_val:.5f})")
         return best_val if best_val is not None else float("nan"), best_params
 
 

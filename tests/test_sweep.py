@@ -99,3 +99,76 @@ def test_run_study_applies_overrides():
     best = run_study(cfg, task)
     assert len(seen) == 6
     assert best == pytest.approx(max(1.0 - abs(v - 0.3) for v in seen))
+
+
+def test_sweeper_storage_resume(tmp_path):
+    from stain2stain_tpu.sweep import Sweeper, TPESampler
+
+    journal = tmp_path / "study.jsonl"
+    calls = []
+
+    def objective(a):
+        calls.append(a["x"])
+        if len(calls) == 3:
+            raise KeyboardInterrupt  # simulate an interrupted sweep
+        return (a["x"] - 0.25) ** 2
+
+    sw = Sweeper(
+        direction="minimize", n_trials=6, storage=str(journal),
+        sampler=TPESampler(seed=0, n_startup_trials=2), params={"x": "interval(0, 1)"},
+    )
+    with pytest.raises(KeyboardInterrupt):
+        sw.optimize(objective)
+    assert len(calls) == 3
+    recorded = journal.read_text().strip().splitlines()
+    assert len(recorded) == 2  # two completed before the interrupt
+
+    # relaunch with the same storage: resumes, only runs the remaining trials
+    calls2 = []
+
+    def objective2(a):
+        calls2.append(a["x"])
+        return (a["x"] - 0.25) ** 2
+
+    sw2 = Sweeper(
+        direction="minimize", n_trials=6, storage=str(journal),
+        sampler=TPESampler(seed=1, n_startup_trials=2), params={"x": "interval(0, 1)"},
+    )
+    best_val, best_params = sw2.optimize(objective2)
+    assert len(calls2) == 4  # 6 total - 2 recorded
+    assert len(journal.read_text().strip().splitlines()) == 6
+    all_vals = [(v - 0.25) ** 2 for v in calls[:2] + calls2]
+    assert best_val == pytest.approx(min(all_vals))
+
+
+def test_sweeper_storage_accepts_rdb_url(tmp_path):
+    from stain2stain_tpu.sweep import Sweeper
+
+    sw = Sweeper(storage=f"sqlite:///{tmp_path}/study.db")
+    assert str(sw._journal_path()).endswith("study.db.jsonl")
+
+
+def test_sweeper_n_jobs_runs_concurrently(tmp_path):
+    import threading
+
+    from stain2stain_tpu.sweep import Sweeper, TPESampler
+
+    active, peak, lock = [0], [0], threading.Lock()
+    barrier = threading.Barrier(3, timeout=30)
+
+    def objective(a):
+        with lock:
+            active[0] += 1
+            peak[0] = max(peak[0], active[0])
+        barrier.wait()  # all 3 trials of a batch must be in flight together
+        with lock:
+            active[0] -= 1
+        return a["x"]
+
+    sw = Sweeper(
+        direction="minimize", n_trials=6, n_jobs=3,
+        sampler=TPESampler(seed=0, n_startup_trials=10), params={"x": "interval(0, 1)"},
+    )
+    best_val, _ = sw.optimize(objective)
+    assert peak[0] == 3
+    assert np.isfinite(best_val)
