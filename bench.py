@@ -1,10 +1,16 @@
 #!/usr/bin/env python
-"""Headline benchmark: flagship CFM train-step throughput on one TPU chip.
+"""Headline benchmark: flagship CFM throughput on one TPU chip.
 
-Measures 256×256 tiles/sec/chip for the full jitted training step (device-side
-normalize + CFM path sample + ADM-UNet fwd/bwd + Adam update) of the flagship
-velocity model (configs/model/conditional_flow_matching.yaml parity: 128 ch,
-mult (1,2,2,4), 2 res-blocks, scale-shift norm, ~71M params), bf16 compute.
+Primary metric — 256×256 tiles/sec/chip for the full jitted training step
+(device-side normalize + CFM path sample + ADM-UNet fwd/bwd + Adam update) of
+the flagship velocity model (configs/model/conditional_flow_matching.yaml
+parity: 128 ch, mult (1,2,2,4), 2 res-blocks, scale-shift norm, ~71M params),
+bf16 compute. Also measured and reported in the same JSON line (``extra``):
+
+- 2-step generate tiles/sec (the reference's simple-FM / logging setting,
+  /root/reference/src/infer_simple_flowmatching.py:34)
+- 512×512 train tiles/sec at the reference's default tile size
+  (/root/reference/configs/data/paired_data.yaml:8), level-remat UNet
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
 ratio against an *estimated* PyTorch-on-H100 reference throughput derived from
@@ -15,7 +21,7 @@ the measured XLA FLOP count of this exact step:
 with MFU_ref = 0.40 (a well-tuned torch/cuDNN mixed-precision UNet train
 loop). The north-star target is ≥ 2× that estimate, i.e. vs_baseline ≥ 2.0.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 from __future__ import annotations
@@ -32,20 +38,18 @@ jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 H100_BF16_FLOPS = 989e12
+V5E_BF16_FLOPS = 197e12
 MFU_REF = 0.40
-IMAGE_SIZE = 256
 WARMUP, STEPS = 3, 20
 
 
-def build_step():
+def build(image_size: int, use_checkpoint):
     from stain2stain_tpu.models import UNetModel
-    from stain2stain_tpu.ops.cfm import ConditionalFlowMatcher
     from stain2stain_tpu.tasks import ConditionalFlowMatchingModule
     from stain2stain_tpu.training.optim import Adam
-    from stain2stain_tpu.training.state import TrainState
 
     net = UNetModel(
-        dim=(3, IMAGE_SIZE, IMAGE_SIZE),
+        dim=(3, image_size, image_size),
         num_channels=128,
         num_res_blocks=2,
         channel_mult=(1, 2, 2, 4),
@@ -54,61 +58,56 @@ def build_step():
         num_heads=4,
         num_head_channels=32,
         use_scale_shift_norm=True,
+        use_checkpoint=use_checkpoint,
         dtype=jnp.bfloat16,
     )
     task = ConditionalFlowMatchingModule(net=net, optimizer=lambda: Adam(lr=1e-4))
+    return task
+
+
+def _is_oom(exc: Exception) -> bool:
+    msg = str(exc).lower()
+    return "resource_exhausted" in msg or "out of memory" in msg or "exceeded hbm" in msg
+
+
+def measure_train(image_size: int, batch_sizes, use_checkpoint=False):
+    """(batch, tiles/s, step_flops, mfu) at the largest batch that fits."""
+    from stain2stain_tpu.training.state import TrainState
+
+    task = build(image_size, use_checkpoint)
     tx, _ = task.configure_optimizers()
 
-    def make(batch_size: int):
-        src_rng, tgt_rng = jax.random.split(jax.random.key(0))
-        src_u8 = jax.random.randint(src_rng, (batch_size, IMAGE_SIZE, IMAGE_SIZE, 3), 0, 256, jnp.uint8)
-        tgt_u8 = jax.random.randint(tgt_rng, (batch_size, IMAGE_SIZE, IMAGE_SIZE, 3), 0, 256, jnp.uint8)
-        variables = task.init_variables(
-            jax.random.key(1), (jnp.zeros((batch_size, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32),)
-        )
-        state = TrainState.create(variables, tx)
-
-        def train_step(state: TrainState, src, tgt, rng):
-            step_rng = jax.random.fold_in(rng, state.step)
-            prep_rng, loss_rng = jax.random.split(step_rng)
-            batch = task.prepare_batch((src, tgt), prep_rng, train=True)
-
-            def loss_fn(params):
-                loss, metrics, _ = task.loss_and_metrics(
-                    {"params": params}, batch, loss_rng, train=True
-                )
-                return loss, metrics
-
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-            return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt), loss
-
-        return jax.jit(train_step, donate_argnums=(0,)), state, src_u8, tgt_u8
-
-    return make
-
-
-def main() -> None:
-    make = build_step()
-    result = None
-    step = state = src = tgt = None
-    # 64 needs ~27 GB of HLO temps (up-path concat convs at 256²) — beyond
-    # one v5e chip even with the fused attention; start at the largest size
-    # that fits so a failed larger attempt can't fragment/pin HBM first.
-    for batch_size in (32, 16, 8):
+    for batch_size in batch_sizes:
+        step = state = src = tgt = None
         try:
-            # Drop the previous attempt's device buffers before allocating the
-            # next size — stale params/opt-state/batches otherwise pin HBM and
-            # cascade the OOM down every batch size.
-            del step, state, src, tgt
-            step = state = src = tgt = None
-            step, state, src, tgt = make(batch_size)
+            src_rng, tgt_rng = jax.random.split(jax.random.key(0))
+            src = jax.random.randint(src_rng, (batch_size, image_size, image_size, 3), 0, 256, jnp.uint8)
+            tgt = jax.random.randint(tgt_rng, (batch_size, image_size, image_size, 3), 0, 256, jnp.uint8)
+            variables = task.init_variables(
+                jax.random.key(1), (jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32),)
+            )
+            state = TrainState.create(variables, tx)
+
+            def train_step(state, src, tgt, rng):
+                step_rng = jax.random.fold_in(rng, state.step)
+                prep_rng, loss_rng = jax.random.split(step_rng)
+                batch = task.prepare_batch((src, tgt), prep_rng, train=True)
+
+                def loss_fn(params):
+                    loss, metrics, _ = task.loss_and_metrics(
+                        {"params": params}, batch, loss_rng, train=True
+                    )
+                    return loss, metrics
+
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                updates, new_opt = tx.update(grads, state.opt_state, state.params)
+                new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+                return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt), loss
+
+            step = jax.jit(train_step, donate_argnums=(0,))
+            compiled = step.lower(state, src, tgt, jax.random.key(2)).compile()
+            step_flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
             rng = jax.random.key(2)
-            lowered = step.lower(state, src, tgt, rng)
-            compiled = lowered.compile()
-            cost = compiled.cost_analysis() or {}
-            step_flops = float(cost.get("flops", 0.0))
             for _ in range(WARMUP):
                 state, loss = step(state, src, tgt, rng)
             float(loss)  # full host sync — the axon tunnel's block_until_ready
@@ -119,20 +118,74 @@ def main() -> None:
                 state, loss = step(state, src, tgt, rng)
                 float(loss)
             dt = time.perf_counter() - t0
-            result = (batch_size, STEPS * batch_size / dt, step_flops)
-            print(f"# measured at batch={batch_size}: {dt/STEPS*1e3:.1f} ms/step", file=sys.stderr)
-            break
-        except Exception as exc:  # OOM at this batch → halve
-            msg = str(exc).lower()
-            if "resource_exhausted" in msg or "out of memory" in msg:
-                head = str(exc).splitlines()[0][:160]
-                print(f"# batch={batch_size} OOM ({head}), trying smaller", file=sys.stderr)
+            tiles = STEPS * batch_size / dt
+            mfu = step_flops / (dt / STEPS) / V5E_BF16_FLOPS
+            print(f"# train {image_size}px batch={batch_size}: {dt/STEPS*1e3:.1f} ms/step "
+                  f"({mfu*100:.1f}% MFU)", file=sys.stderr)
+            return batch_size, tiles, step_flops, mfu
+        except Exception as exc:
+            if _is_oom(exc):
+                print(f"# train {image_size}px batch={batch_size} OOM, trying smaller", file=sys.stderr)
+                del step, state, src, tgt
                 continue
             raise
-    if result is None:
-        raise RuntimeError("benchmark OOMed at every batch size")
+    return None
 
-    batch_size, tiles_per_sec, step_flops = result
+
+def measure_generate(image_size: int, batch_size: int, num_steps: int):
+    """tiles/s for an N-step compiled generate (inference path)."""
+    task = build(image_size, False)
+    try:
+        variables = task.init_variables(
+            jax.random.key(1), (jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32),)
+        )
+        src = jax.random.uniform(jax.random.key(0), (batch_size, image_size, image_size, 3),
+                                 jnp.float32, -1.0, 1.0)
+        gen = jax.jit(lambda v, x: task.generate(v, x, num_steps=num_steps))
+        out = gen(variables, src)
+        jax.block_until_ready(out)
+        float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = gen(variables, src)
+            float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
+        dt = (time.perf_counter() - t0) / reps
+        print(f"# generate {num_steps}-step {image_size}px batch={batch_size}: "
+              f"{dt*1e3:.1f} ms/batch", file=sys.stderr)
+        return batch_size / dt
+    except Exception as exc:
+        if _is_oom(exc):
+            print(f"# generate batch={batch_size} OOM; skipping", file=sys.stderr)
+            return None
+        raise
+
+
+def main() -> None:
+    result = measure_train(256, (32, 16, 8))
+    if result is None:
+        raise RuntimeError("256px train benchmark OOMed at every batch size")
+    batch_size, tiles_per_sec, step_flops, mfu = result
+
+    extra = {"train_batch_256": batch_size, "train_mfu_256": round(mfu, 3)}
+    infer = measure_generate(256, 64, num_steps=2)
+    if infer is not None:
+        extra["infer_2step_tiles_per_sec_256"] = round(infer, 2)
+    # The reference's default 512px operating point: level-remat fits the
+    # 4×-activation step on one chip (grad-accum covers larger batches).
+    # The axon remote-compile helper is known to crash on some 512px programs
+    # (infrastructure, not framework) — degrade to a skipped row, never a
+    # failed benchmark.
+    try:
+        train512 = measure_train(512, (8, 4), use_checkpoint="level")
+    except Exception as exc:
+        print(f"# 512px train skipped: {str(exc).splitlines()[0][:140]}", file=sys.stderr)
+        train512 = None
+    if train512 is not None:
+        extra["train_tiles_per_sec_512"] = round(train512[1], 2)
+        extra["train_batch_512"] = train512[0]
+        extra["train_mfu_512"] = round(train512[3], 3)
+
     if step_flops > 0:
         h100_est = MFU_REF * H100_BF16_FLOPS / (step_flops / batch_size)
         vs_baseline = tiles_per_sec / h100_est
@@ -145,6 +198,7 @@ def main() -> None:
                 "value": round(tiles_per_sec, 2),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(vs_baseline, 3),
+                "extra": extra,
             }
         )
     )

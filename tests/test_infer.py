@@ -1,12 +1,16 @@
 """Inference-CLI round trip: train a smoke model, then drive the infer and
 quality CLIs as subprocesses (the deployment path, SURVEY.md §3.3-3.4)."""
 
+import pytest
+
+# slow tier: e2e CLI train+infer subprocesses (run with `pytest -m slow`)
+pytestmark = pytest.mark.slow
+
 import json
 import subprocess
 import sys
 from pathlib import Path
 
-import pytest
 
 from src.train import train
 from stain2stain_tpu.config import compose

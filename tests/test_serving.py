@@ -1,5 +1,10 @@
 """Sealed-artifact serving tests: export → deserialize → exact parity."""
 
+import pytest
+
+# slow tier: jax.export round trips (run with `pytest -m slow`)
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,12 +2,16 @@
 run the real ``python src/train.py`` command line, including ``-m`` sweeps).
 """
 
+import pytest
+
+# slow tier: subprocess multirun/sweep drives (run with `pytest -m slow`)
+pytestmark = pytest.mark.slow
+
 import json
 import subprocess
 import sys
 from pathlib import Path
 
-import pytest
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 

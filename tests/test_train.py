@@ -5,12 +5,16 @@ hermetic synthetic experiment; the persistent compile cache keeps repeat runs
 fast on TPU.
 """
 
+import pytest
+
+# slow tier: e2e Trainer fits on the TPU (run with `pytest -m slow`)
+pytestmark = pytest.mark.slow
+
 import os
 from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from src.train import train
 from stain2stain_tpu.config import compose
