@@ -43,7 +43,7 @@ MFU_REF = 0.40
 WARMUP, STEPS = 3, 20
 
 
-def build(image_size: int, use_checkpoint):
+def build(image_size: int, use_checkpoint, fused_attention=None):
     from stain2stain_tpu.models import UNetModel
     from stain2stain_tpu.tasks import ConditionalFlowMatchingModule
     from stain2stain_tpu.training.optim import Adam
@@ -59,6 +59,7 @@ def build(image_size: int, use_checkpoint):
         num_head_channels=32,
         use_scale_shift_norm=True,
         use_checkpoint=use_checkpoint,
+        fused_attention=fused_attention,
         dtype=jnp.bfloat16,
     )
     task = ConditionalFlowMatchingModule(net=net, optimizer=lambda: Adam(lr=1e-4))
@@ -70,11 +71,11 @@ def _is_oom(exc: Exception) -> bool:
     return "resource_exhausted" in msg or "out of memory" in msg or "exceeded hbm" in msg
 
 
-def measure_train(image_size: int, batch_sizes, use_checkpoint=False):
+def measure_train(image_size: int, batch_sizes, use_checkpoint=False, fused_attention=None):
     """(batch, tiles/s, step_flops, mfu) at the largest batch that fits."""
     from stain2stain_tpu.training.state import TrainState
 
-    task = build(image_size, use_checkpoint)
+    task = build(image_size, use_checkpoint, fused_attention)
     tx, _ = task.configure_optimizers()
 
     for batch_size in batch_sizes:
@@ -132,70 +133,110 @@ def measure_train(image_size: int, batch_sizes, use_checkpoint=False):
     return None
 
 
-def measure_generate(image_size: int, batch_size: int, num_steps: int):
-    """tiles/s for an N-step compiled generate (inference path)."""
+def measure_generate(image_size: int, batch_sizes, num_steps: int):
+    """tiles/s for an N-step compiled generate at the largest batch that fits."""
     task = build(image_size, False)
-    try:
-        variables = task.init_variables(
-            jax.random.key(1), (jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32),)
-        )
-        src = jax.random.uniform(jax.random.key(0), (batch_size, image_size, image_size, 3),
-                                 jnp.float32, -1.0, 1.0)
-        gen = jax.jit(lambda v, x: task.generate(v, x, num_steps=num_steps))
-        out = gen(variables, src)
-        jax.block_until_ready(out)
-        float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
-        t0 = time.perf_counter()
-        reps = 5
-        for _ in range(reps):
+    if isinstance(batch_sizes, int):
+        batch_sizes = (batch_sizes,)
+    for batch_size in batch_sizes:
+        variables = src = gen = out = None
+        try:
+            variables = task.init_variables(
+                jax.random.key(1), (jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32),)
+            )
+            src = jax.random.uniform(jax.random.key(0), (batch_size, image_size, image_size, 3),
+                                     jnp.float32, -1.0, 1.0)
+            gen = jax.jit(lambda v, x: task.generate(v, x, num_steps=num_steps))
             out = gen(variables, src)
+            jax.block_until_ready(out)
             float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
-        dt = (time.perf_counter() - t0) / reps
-        print(f"# generate {num_steps}-step {image_size}px batch={batch_size}: "
-              f"{dt*1e3:.1f} ms/batch", file=sys.stderr)
-        return batch_size / dt
-    except Exception as exc:
-        if _is_oom(exc):
-            print(f"# generate batch={batch_size} OOM; skipping", file=sys.stderr)
+            t0 = time.perf_counter()
+            reps = 5
+            for _ in range(reps):
+                out = gen(variables, src)
+                float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
+            dt = (time.perf_counter() - t0) / reps
+            print(f"# generate {num_steps}-step {image_size}px batch={batch_size}: "
+                  f"{dt*1e3:.1f} ms/batch", file=sys.stderr)
+            return batch_size / dt
+        except Exception as exc:
+            if _is_oom(exc):
+                print(f"# generate batch={batch_size} OOM, trying smaller", file=sys.stderr)
+                del variables, src, gen, out
+                continue
+            raise
+    return None
+
+
+def _run_mode(mode: str) -> None:
+    """Subprocess entry: one measurement per process (device buffers left by
+    a previous measurement otherwise pin HBM and cascade OOMs — each worked
+    standalone, the sequence in one process did not)."""
+    if mode == "train256":
+        result = measure_train(256, (32, 16, 8))
+        if result is None:
+            raise RuntimeError("256px train benchmark OOMed at every batch size")
+        batch_size, tiles_per_sec, step_flops, mfu = result
+        print(json.dumps({"batch": batch_size, "tiles": tiles_per_sec,
+                          "flops": step_flops, "mfu": mfu}))
+    elif mode == "gen256":
+        infer = measure_generate(256, (64, 32, 16), num_steps=2)
+        print(json.dumps({"tiles": infer}))
+    elif mode == "train512":
+        # einsum attention at 512: the Pallas kernel compiles standalone at
+        # 4096 tokens but the remote helper still crashes compiling it inside
+        # the full 512px program; XLA's einsum path compiles and runs.
+        result = measure_train(512, (4,), use_checkpoint="level", fused_attention=False)
+        print(json.dumps(None if result is None else
+                         {"batch": result[0], "tiles": result[1], "mfu": result[3]}))
+    else:
+        raise SystemExit(f"unknown bench mode {mode}")
+
+
+def _sub(mode: str, timeout_s: int = 1500):
+    """Run one measurement mode in a fresh process; None on any failure."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, mode],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        sys.stderr.write(proc.stderr[-2000:])
+        if proc.returncode != 0:
+            print(f"# bench mode {mode} failed (rc={proc.returncode})", file=sys.stderr)
             return None
-        raise
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as exc:
+        print(f"# bench mode {mode} skipped: {str(exc)[:140]}", file=sys.stderr)
+        return None
 
 
 def main() -> None:
-    result = measure_train(256, (32, 16, 8))
-    if result is None:
-        raise RuntimeError("256px train benchmark OOMed at every batch size")
-    batch_size, tiles_per_sec, step_flops, mfu = result
+    train = _sub("train256")
+    if not train:
+        raise RuntimeError("256px train benchmark failed")
+    extra = {"train_batch_256": train["batch"], "train_mfu_256": round(train["mfu"], 3)}
+    gen = _sub("gen256")
+    if gen and gen.get("tiles"):
+        extra["infer_2step_tiles_per_sec_256"] = round(gen["tiles"], 2)
+    # The reference's default 512px operating point: level-remat + einsum
+    # attention fits the 4x-activation step on one chip (grad-accum covers
+    # larger effective batches). Degrades to a skipped row if the remote
+    # compile helper crashes (infrastructure, not framework).
+    t512 = _sub("train512")
+    if t512:
+        extra["train_tiles_per_sec_512"] = round(t512["tiles"], 2)
+        extra["train_batch_512"] = t512["batch"]
+        extra["train_mfu_512"] = round(t512["mfu"], 3)
 
-    extra = {"train_batch_256": batch_size, "train_mfu_256": round(mfu, 3)}
-    infer = measure_generate(256, 64, num_steps=2)
-    if infer is not None:
-        extra["infer_2step_tiles_per_sec_256"] = round(infer, 2)
-    # The reference's default 512px operating point: level-remat fits the
-    # 4×-activation step on one chip (grad-accum covers larger batches).
-    # The axon remote-compile helper is known to crash on some 512px programs
-    # (infrastructure, not framework) — degrade to a skipped row, never a
-    # failed benchmark.
-    try:
-        train512 = measure_train(512, (8, 4), use_checkpoint="level")
-    except Exception as exc:
-        print(f"# 512px train skipped: {str(exc).splitlines()[0][:140]}", file=sys.stderr)
-        train512 = None
-    if train512 is not None:
-        extra["train_tiles_per_sec_512"] = round(train512[1], 2)
-        extra["train_batch_512"] = train512[0]
-        extra["train_mfu_512"] = round(train512[3], 3)
-
-    if step_flops > 0:
-        h100_est = MFU_REF * H100_BF16_FLOPS / (step_flops / batch_size)
-        vs_baseline = tiles_per_sec / h100_est
-    else:
-        vs_baseline = 0.0
+    h100_est = MFU_REF * H100_BF16_FLOPS / (train["flops"] / train["batch"])
+    vs_baseline = train["tiles"] / h100_est if train["flops"] > 0 else 0.0
     print(
         json.dumps(
             {
                 "metric": "cfm_train_tiles_per_sec_per_chip_256",
-                "value": round(tiles_per_sec, 2),
+                "value": round(train["tiles"], 2),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(vs_baseline, 3),
                 "extra": extra,
@@ -205,4 +246,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        _run_mode(sys.argv[1])
+    else:
+        main()
