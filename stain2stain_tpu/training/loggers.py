@@ -182,6 +182,48 @@ def _service_logger(service: str):
             if self._client is not None:
                 self._client.log({k: float(v) for k, v in metrics.items()}, step=step)
 
+        def artifact_ref(self, alias: str = "latest") -> str:
+            """The ``wandb-artifact://`` reference this run's model resolves as
+            (reference semantics: ``log_model: all`` registers ``model-<run>``
+            with a ``latest`` alias, configs/logger/wandb.yaml:12)."""
+            run_name = self.kwargs.get("name") or getattr(self._client, "id", None) or "run"
+            return f"{self.project}/model-{run_name}:{alias}"
+
+        def log_model(self, ckpt_path: str, metadata: Optional[dict] = None) -> None:
+            """Upload a checkpoint as a model artifact; offline, mirror it into
+            the WANDB_CACHE_DIR layout that ``wandb-artifact://`` resolution
+            reads (src/train.py _resolve_ckpt_path) so the round trip —
+            train with log_model, later train/eval from
+            ``ckpt_path=wandb-artifact://<ref>`` — works without a service."""
+            super().log_model(ckpt_path, {**(metadata or {}), "artifact_ref": self.artifact_ref()})
+            if self._client is not None and service == "wandb":
+                import wandb
+
+                name = self.artifact_ref().split("/")[-1].split(":")[0]
+                artifact = wandb.Artifact(name, type="model", metadata=metadata or {})
+                p = Path(ckpt_path)
+                if p.is_dir():
+                    artifact.add_dir(str(p))
+                else:
+                    artifact.add_file(str(p))
+                self._client.log_artifact(artifact, aliases=["latest"])
+                return
+            import os
+            import shutil
+
+            ref = self.artifact_ref()
+            cache = Path(os.environ.get("WANDB_CACHE_DIR", "wandb_artifacts")) / ref.replace(
+                "/", "_"
+            ).replace(":", "_")
+            if cache.exists():
+                shutil.rmtree(cache)
+            p = Path(ckpt_path)
+            if p.is_dir():
+                shutil.copytree(p, cache)
+            else:
+                cache.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(p, cache / p.name)
+
         def finalize(self, status: str = "success") -> None:
             super().finalize(status)
             if self._client is not None:
