@@ -113,14 +113,22 @@ def odeint_dopri5(
     rtol: float = 1e-4,
     max_steps: int = 1000,
 ) -> jax.Array:
-    """Adaptive Dormand–Prince RK45 under ``lax.while_loop`` (dopri5 parity)."""
+    """Adaptive Dormand–Prince RK45 under ``lax.while_loop`` (dopri5 parity).
+
+    Exploits the FSAL (first-same-as-last) property: stage 7 is evaluated at
+    the accepted solution point (c=1, A row = b5), so it becomes the next
+    step's stage 1 — 6 velocity-net evaluations per step instead of 7. The
+    error norm is a scalar over the whole batch (one step size for all
+    examples — torchdyn semantics; per-sample step control would force
+    per-sample time states).
+    """
     dtype = jnp.float32
     x0 = x0.astype(dtype)
     span = t1 - t0
 
-    def eval_stages(t, x, h):
-        ks = []
-        for i in range(7):
+    def eval_stages(t, x, h, k1):
+        ks = [k1]
+        for i in range(1, 7):
             xi = x
             for j, a in enumerate(_DP_A[i]):
                 xi = xi + h * a * ks[j]
@@ -132,13 +140,13 @@ def odeint_dopri5(
         return jnp.sqrt(jnp.mean(jnp.square(err / scale)))
 
     def cond(state):
-        t, _, _, n = state
+        t, _, _, _, n = state
         return jnp.logical_and(t < t1 - 1e-9, n < max_steps)
 
     def body(state):
-        t, x, h, n = state
+        t, x, h, k1, n = state
         h = jnp.minimum(h, t1 - t)
-        ks = eval_stages(t, x, h)
+        ks = eval_stages(t, x, h, k1)
         x5 = x
         err = jnp.zeros_like(x)
         for k, (b5, b4) in zip(ks, zip(_DP_B5, _DP_B4)):
@@ -150,11 +158,20 @@ def odeint_dopri5(
         h_new = jnp.clip(h * factor, span * 1e-5, span)
         t_new = jnp.where(accept, t + h, t)
         x_new = jnp.where(accept, x5, x)
-        return (t_new, x_new, h_new, n + 1)
+        # FSAL: on acceptance ks[6] = fn(t_new, x_new); on rejection (t, x)
+        # are unchanged so the cached k1 stays valid either way.
+        k1_new = jnp.where(accept, ks[6], k1)
+        return (t_new, x_new, h_new, k1_new, n + 1)
 
     h0 = jnp.asarray(span / 50.0, dtype)
-    init = (jnp.asarray(t0, dtype), x0, h0, jnp.asarray(0, jnp.int32))
-    _, x_final, _, _ = jax.lax.while_loop(cond, body, init)
+    init = (
+        jnp.asarray(t0, dtype),
+        x0,
+        h0,
+        fn(jnp.asarray(t0, dtype), x0),
+        jnp.asarray(0, jnp.int32),
+    )
+    _, x_final, _, _, _ = jax.lax.while_loop(cond, body, init)
     return x_final
 
 
