@@ -183,7 +183,10 @@ def _conv(params, name, x, stride=1, padding=0):
         padding = (padding, padding)
     pad = ((padding[0], padding[0]), (padding[1], padding[1]))
     out = jax.lax.conv_general_dilated(
-        x, w, (stride, stride), pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
+        x, w, (stride, stride), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # f32 throughout: FID features must match the torch extractor, and
+        # TPU's default bf16 conv passes would perturb them
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jax.nn.relu(out + b)
 

@@ -43,7 +43,12 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _depthwise_filter(x: jax.Array, kernel2d: jnp.ndarray) -> jax.Array:
-    """Depthwise 2-D filter on NHWC via feature_group_count."""
+    """Depthwise 2-D filter on NHWC via feature_group_count.
+
+    Full f32 precision: TPU convs default to bf16 passes, and SSIM's
+    variance terms (E[x²]−μ²) cancel catastrophically in bf16 — measured
+    SSIM values above 1 before this was pinned.
+    """
     c = x.shape[-1]
     k = jnp.tile(kernel2d[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 per group
     return jax.lax.conv_general_dilated(
@@ -53,6 +58,7 @@ def _depthwise_filter(x: jax.Array, kernel2d: jnp.ndarray) -> jax.Array:
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

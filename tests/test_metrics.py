@@ -64,3 +64,15 @@ def test_feature_extractor_deterministic():
     f1 = FeatureExtractor(feature_dim=64, seed=5)(imgs)
     f2 = FeatureExtractor(feature_dim=64, seed=5)(imgs)
     np.testing.assert_allclose(f1, f2, rtol=1e-6)
+
+
+def test_ssim_bounded_on_accelerator():
+    # Bright low-variance tiles: with TPU's default bf16 conv passes the
+    # E[x²]−μ² variance terms cancelled catastrophically and SSIM came out
+    # above 1 (3.5 observed) before the metric convs pinned f32 precision.
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0.85, 0.95, (2, 32, 32, 3)).astype(np.float32)
+    other = np.clip(base + rng.normal(0, 0.02, base.shape).astype(np.float32), 0, 1)
+    v = float(ssim(jnp.asarray(base), jnp.asarray(other)))
+    assert -1.0 <= v <= 1.0 + 1e-5
+    assert float(ssim(jnp.asarray(base), jnp.asarray(base))) == pytest.approx(1.0, abs=1e-4)
