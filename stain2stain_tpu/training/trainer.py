@@ -357,18 +357,21 @@ class Trainer:
         self._batch_sharding = bsh
 
     def _device_batch(self, task, batch: tuple):
+        """Returns (sharded batch, real example count before padding)."""
         arrays = tuple(np.asarray(a) for a in task.device_fields(batch))
         # Ragged final batches (eval without drop_last) can't shard over the
-        # mesh; pad by repeating trailing examples — the same duplication
+        # mesh; pad by repeating leading examples — the same duplication
         # semantics as torch's DistributedSampler, which the reference relies
-        # on (slightly overweights the padded examples in per-batch means).
+        # on (the duplicates slightly overweight those examples *within* the
+        # final batch's mean; across batches the real count reweights, see
+        # _run_eval).
         n_dev = self.mesh.devices.size
         local = arrays[0].shape[0]
         if local % n_dev:
             pad = n_dev - (local % n_dev)
             idx = np.concatenate([np.arange(local), np.arange(pad) % local])
             arrays = tuple(a[idx] for a in arrays)
-        return shard_batch(self.mesh, arrays)
+        return shard_batch(self.mesh, arrays), local
 
     # ------------------------------------------------------------------- fit
     def fit(self, model, datamodule, ckpt_path: Optional[str] = None) -> None:
@@ -468,7 +471,7 @@ class Trainer:
             if i >= n_batches:
                 break
             self._peek_train = batch
-            device_batch = self._device_batch(task, batch)
+            device_batch, _ = self._device_batch(task, batch)
             t0 = time.perf_counter() if self.profiler == "simple" else 0.0
             self.state, metrics = self._train_step_fn(self.state, device_batch, self._rng)
             if self.detect_anomaly:
@@ -510,6 +513,7 @@ class Trainer:
         if max_batches is not None:
             n_batches = min(n_batches, max_batches)
         agg: dict[str, list] = {}
+        weights: list[int] = []
         # Deterministic per-batch eval keys: CFM losses sample (t, xt) and the
         # reference's eval is therefore stochastic under torch's global RNG;
         # keying by (seed, batch index) instead makes val/test losses exactly
@@ -521,11 +525,18 @@ class Trainer:
                 break
             if prefix == "val":
                 self._peek_val = batch
-            device_batch = self._device_batch(task, batch)
+            device_batch, n_real = self._device_batch(task, batch)
             metrics = self._eval_step_fn(self.state, device_batch, jax.random.fold_in(eval_rng, i))
+            weights.append(n_real)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(v)
-        means = {f"{prefix}/{k}": float(np.mean([np.asarray(v) for v in vs])) for k, vs in agg.items()}
+        # Example-weighted mean: a short final batch contributes by its real
+        # example count, not equally with the full batches.
+        w = np.asarray(weights, dtype=np.float64)
+        means = {
+            f"{prefix}/{k}": float(np.sum(np.asarray([np.asarray(v) for v in vs]) * w) / w.sum())
+            for k, vs in agg.items()
+        }
         if not self.sanity_checking:
             self.log_metrics(means)
         return means
