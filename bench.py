@@ -193,23 +193,34 @@ def _run_mode(mode: str) -> None:
         raise SystemExit(f"unknown bench mode {mode}")
 
 
-def _sub(mode: str, timeout_s: int = 1500):
-    """Run one measurement mode in a fresh process; None on any failure."""
+def _sub(mode: str, timeout_s: int = 1500, retries: int = 1):
+    """Run one measurement mode in a fresh process; None on any failure.
+
+    The axon terminal reclaims HBM lazily after a heavy program exits, so a
+    measurement right after another can hit spurious runtime OOMs — on a
+    null/failed result, wait out the reclamation and retry once.
+    """
     import subprocess
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, __file__, mode],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        sys.stderr.write(proc.stderr[-2000:])
-        if proc.returncode != 0:
-            print(f"# bench mode {mode} failed (rc={proc.returncode})", file=sys.stderr)
-            return None
-        return json.loads(proc.stdout.strip().splitlines()[-1])
-    except Exception as exc:
-        print(f"# bench mode {mode} skipped: {str(exc)[:140]}", file=sys.stderr)
-        return None
+    for attempt in range(retries + 1):
+        if attempt:
+            print(f"# bench mode {mode}: retrying after HBM reclamation wait", file=sys.stderr)
+            time.sleep(120)
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, mode],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            sys.stderr.write(proc.stderr[-2000:])
+            if proc.returncode != 0:
+                print(f"# bench mode {mode} failed (rc={proc.returncode})", file=sys.stderr)
+                continue
+            result = json.loads(proc.stdout.strip().splitlines()[-1])
+            if result and not (isinstance(result, dict) and result.get("tiles") is None):
+                return result
+        except Exception as exc:
+            print(f"# bench mode {mode} skipped: {str(exc)[:140]}", file=sys.stderr)
+    return None
 
 
 def main() -> None:

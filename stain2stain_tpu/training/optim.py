@@ -22,10 +22,18 @@ def Adam(
     weight_decay: float = 0.0,
     betas: tuple = (0.9, 0.999),
     eps: float = 1e-8,
+    flatten: bool = True,
 ) -> optax.GradientTransformation:
     """torch.optim.Adam-equivalent (decoupled semantics differ: torch's
     ``weight_decay`` is L2-into-gradient; replicated here with additive decay
-    before the Adam moment update)."""
+    before the Adam moment update).
+
+    ``flatten=True`` runs the update over one concatenated parameter vector
+    (``optax.flatten``) instead of ~400 per-tensor fusions — measured 827 →
+    787 ms/step on the flagship 256px TPU train step (same math; the
+    hyperparams state the LR-plateau controller mutates is unchanged because
+    flatten delegates to the inner inject_hyperparams state).
+    """
 
     def make(learning_rate):
         steps = []
@@ -35,7 +43,8 @@ def Adam(
         steps.append(optax.scale(-learning_rate))
         return optax.chain(*steps)
 
-    return optax.inject_hyperparams(make)(learning_rate=lr)
+    tx = optax.inject_hyperparams(make)(learning_rate=lr)
+    return optax.flatten(tx) if flatten else tx
 
 
 def AdamW(
