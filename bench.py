@@ -138,12 +138,15 @@ def measure_generate(image_size: int, batch_sizes, num_steps: int):
     task = build(image_size, False)
     if isinstance(batch_sizes, int):
         batch_sizes = (batch_sizes,)
+    # Params are batch-independent: init once at batch 1 so the f32 init
+    # program never allocates batch-64 activations (round-2 OOM contributor).
+    variables_b1 = task.init_variables(
+        jax.random.key(1), (jnp.zeros((1, image_size, image_size, 3), jnp.float32),)
+    )
     for batch_size in batch_sizes:
         variables = src = gen = out = None
         try:
-            variables = task.init_variables(
-                jax.random.key(1), (jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32),)
-            )
+            variables = variables_b1
             src = jax.random.uniform(jax.random.key(0), (batch_size, image_size, image_size, 3),
                                      jnp.float32, -1.0, 1.0)
             gen = jax.jit(lambda v, x: task.generate(v, x, num_steps=num_steps))
@@ -180,7 +183,12 @@ def _run_mode(mode: str) -> None:
         print(json.dumps({"batch": batch_size, "tiles": tiles_per_sec,
                           "flops": step_flops, "mfu": mfu}))
     elif mode == "gen256":
-        infer = measure_generate(256, (64, 32, 16), num_steps=2)
+        infer = measure_generate(256, (64, 32, 16, 8), num_steps=2)
+        print(json.dumps({"tiles": infer}))
+    elif mode == "gen256_50":
+        # the reference's multitask inference setting (50 ODE steps,
+        # /root/reference/src/infer_multitask_multiclassloss.py:34)
+        infer = measure_generate(256, (32, 16, 8), num_steps=50)
         print(json.dumps({"tiles": infer}))
     elif mode == "train512":
         # einsum attention at 512: the Pallas kernel compiles standalone at
@@ -224,13 +232,23 @@ def _sub(mode: str, timeout_s: int = 1500, retries: int = 1):
 
 
 def main() -> None:
-    train = _sub("train256")
-    if not train:
-        raise RuntimeError("256px train benchmark failed")
-    extra = {"train_batch_256": train["batch"], "train_mfu_256": round(train["mfu"], 3)}
+    # Inference rows FIRST: the generate programs are the smallest, and the
+    # axon terminal reclaims a previous subprocess's HBM lazily — running them
+    # after the 13.5-GiB train step OOMed them out of BENCH_r02 entirely.
+    extra = {}
     gen = _sub("gen256")
     if gen and gen.get("tiles"):
         extra["infer_2step_tiles_per_sec_256"] = round(gen["tiles"], 2)
+    time.sleep(60)  # let the terminal reclaim the generate buffers
+    gen50 = _sub("gen256_50")
+    if gen50 and gen50.get("tiles"):
+        extra["infer_50step_tiles_per_sec_256"] = round(gen50["tiles"], 2)
+    time.sleep(60)
+    train = _sub("train256")
+    if not train:
+        raise RuntimeError("256px train benchmark failed")
+    extra.update({"train_batch_256": train["batch"], "train_mfu_256": round(train["mfu"], 3)})
+    time.sleep(60)
     # The reference's default 512px operating point: level-remat + einsum
     # attention fits the 4x-activation step on one chip (grad-accum covers
     # larger effective batches). Degrades to a skipped row if the remote

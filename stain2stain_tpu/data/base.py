@@ -138,6 +138,16 @@ class DataLoader:
             return n // self.global_batch_size
         return -(-n // self.global_batch_size)
 
+    def real_batch_size(self, b: int) -> int:
+        """True (pre-padding) number of distinct examples in global batch ``b``
+        — the weight an example-weighted eval mean should give that batch.
+        Host-shard and device padding duplicate examples (see __iter__ and
+        Trainer._device_batch); those duplicates must not inflate the count."""
+        n = len(self.dataset)
+        if self.drop_last:
+            return self.global_batch_size
+        return max(1, min(self.global_batch_size, n - b * self.global_batch_size))
+
     def __iter__(self) -> Iterator[tuple]:
         indices = self._epoch_indices()
         n_batches = len(self)

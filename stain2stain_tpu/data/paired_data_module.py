@@ -15,8 +15,14 @@ TPU re-design of /root/reference/src/data/paired_data_module.py:95-353:
 Direction semantics: the reference swaps source/target for any value other
 than the literal ``"S2T"`` (paired_data_module.py:214-223) — which silently
 reverses translation for the shipped ``direction: HE_to_IHC`` config
-(configs/data/paired_data.yaml:11). Here the swap happens only for explicit
-reverse values (``T2S`` / ``*_to_*`` with reversed columns), fixing that quirk.
+(configs/data/paired_data.yaml:11). ``direction_compat`` controls this:
+
+- ``"reference"`` (default) — bit-for-bit reference behavior: swap for ANY
+  value other than ``"S2T"``, so identical configs train identical
+  directions across the two frameworks (a loud warning flags the surprising
+  swap for values like ``HE_to_IHC``).
+- ``"explicit"`` — swap only for explicit reverse values
+  (``T2S``/``IHC_to_HE``/``reverse``); anything else is forward.
 """
 
 from __future__ import annotations
@@ -29,6 +35,49 @@ import numpy as np
 from .base import DataLoader, DataModule, Dataset
 
 _REVERSE_DIRECTIONS = ("T2S", "IHC_to_HE", "reverse")
+
+
+def resolve_direction_swap(
+    direction: str, compat: str = "reference", forward: str = "S2T"
+) -> bool:
+    """Whether (source, target) should be swapped for ``direction``.
+
+    ``compat="reference"`` reproduces the reference exactly: swap for ANY
+    value other than the forward literal
+    (/root/reference/src/data/paired_data_module.py:214) — with a loud warning
+    when the value isn't an explicit reverse keyword, because e.g.
+    ``direction=HE_to_IHC`` then trains IHC→HE. ``compat="explicit"`` swaps
+    only for {_REVERSE_DIRECTIONS}.
+    """
+    if compat not in ("reference", "explicit"):
+        raise ValueError(f"direction_compat must be 'reference' or 'explicit', got {compat!r}")
+    explicit_swap = direction in _REVERSE_DIRECTIONS
+    if compat == "explicit":
+        if direction != forward and not explicit_swap:
+            import warnings
+
+            warnings.warn(
+                f"direction={direction!r} with direction_compat='explicit' is treated "
+                f"as FORWARD (source→target). The reference swaps the pair for ANY "
+                f"value other than {forward!r}; set direction_compat='reference' for "
+                "that behavior.",
+                stacklevel=3,
+            )
+        return explicit_swap
+    swap = direction != forward
+    if swap and not explicit_swap:
+        import warnings
+
+        warnings.warn(
+            f"direction={direction!r}: reference-compat semantics swap source/target "
+            f"for ANY value other than {forward!r} "
+            "(/root/reference/src/data/paired_data_module.py:214), so this trains the "
+            f"REVERSE translation (target→source). Use direction={forward!r} for "
+            "forward, or direction_compat='explicit' to treat only "
+            f"{_REVERSE_DIRECTIONS} as reverse.",
+            stacklevel=3,
+        )
+    return swap
 
 
 def load_rgb(path: str) -> np.ndarray:
@@ -72,6 +121,7 @@ class PairedDataset(Dataset):
         use_augmentation: bool = False,
         return_filename: bool = False,
         load_size: Optional[int] = None,
+        direction_compat: str = "reference",
     ):
         import pandas as pd
 
@@ -80,19 +130,7 @@ class PairedDataset(Dataset):
         self.use_augmentation = use_augmentation
         self.return_filename = return_filename
         self.load_size = load_size if load_size is not None else image_size
-        self.swap = direction in _REVERSE_DIRECTIONS
-        if direction != "S2T" and not self.swap:
-            import warnings
-
-            warnings.warn(
-                f"direction={direction!r} is treated as FORWARD (source→target) here. "
-                "The reference implementation swaps the pair for ANY value other than "
-                "the literal 'S2T' (/root/reference/src/data/paired_data_module.py:214), "
-                "so the same config there trains the REVERSE translation. Use "
-                "direction='S2T' for forward or one of "
-                f"{_REVERSE_DIRECTIONS} to swap, to be explicit.",
-                stacklevel=3,
-            )
+        self.swap = resolve_direction_swap(direction, direction_compat)
 
         csv_path = os.path.join(data_dir, csv_file_name)
         if not os.path.exists(csv_path):
@@ -167,6 +205,7 @@ class PairedDataModule(DataModule):
         load_size: Optional[int] = None,
         seed: int = 0,
         prefetch_factor: int = 2,
+        direction_compat: str = "reference",
     ):
         import jax
 
@@ -180,6 +219,7 @@ class PairedDataModule(DataModule):
         self.num_workers = num_workers
         self.image_size = image_size
         self.direction = direction
+        self.direction_compat = direction_compat
         self.use_augmentation = use_augmentation
         self.load_size = load_size
         self.seed = seed
@@ -204,6 +244,7 @@ class PairedDataModule(DataModule):
             folder=folder,
             image_size=self.image_size,
             direction=self.direction,
+            direction_compat=self.direction_compat,
             use_augmentation=self.use_augmentation and folder == "train",
             load_size=self.load_size,
             **kw,
@@ -244,4 +285,10 @@ class PairedDataModule(DataModule):
         return self._loader("test", shuffle=False)
 
 
-__all__ = ["PairedDataset", "PairedDataModule", "load_rgb", "resize_uint8"]
+__all__ = [
+    "PairedDataset",
+    "PairedDataModule",
+    "load_rgb",
+    "resize_uint8",
+    "resolve_direction_swap",
+]

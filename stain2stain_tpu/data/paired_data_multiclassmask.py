@@ -35,14 +35,18 @@ class PairedMulticlassDataset(Dataset):
         direction: str = "S2T",
         use_augmentation: bool = False,
         load_size: Optional[int] = None,
+        direction_compat: str = "reference",
     ):
         import pandas as pd
+
+        from .paired_data_module import resolve_direction_swap
 
         self.tile_dir = os.path.join(data_dir, folder)
         self.image_size = image_size
         self.use_augmentation = use_augmentation
         self.load_size = load_size if load_size is not None else image_size
-        self.swap = direction not in ("S2T", "HE_to_IHC")
+        # ref paired_data_multiclassmask.py:155 swaps for ANY non-"S2T" value
+        self.swap = resolve_direction_swap(direction, direction_compat)
         csv_path = os.path.join(data_dir, csv_file_name)
         if not os.path.exists(csv_path):
             raise FileNotFoundError(f"Metadata CSV not found: {csv_path}")
@@ -117,9 +121,11 @@ class PairedMulticlassDataModule(DataModule):
         pin_memory: bool = True,
         seed: int = 0,
         prefetch_factor: int = 2,
+        direction_compat: str = "reference",
     ):
         import jax
 
+        self.direction_compat = direction_compat
         self.data_dir = data_dir
         self.csv_file_name = csv_file_name
         self.source_column = source_column
@@ -156,6 +162,7 @@ class PairedMulticlassDataModule(DataModule):
                         folder=folder,
                         image_size=self.image_size,
                         direction=self.direction,
+                        direction_compat=self.direction_compat,
                         # test loader forces augmentation off (ref :280)
                         use_augmentation=self.use_augmentation and folder == "train",
                         load_size=self.load_size,

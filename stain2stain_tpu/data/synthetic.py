@@ -32,8 +32,20 @@ def _smooth_noise(rng: np.random.Generator, size: int, scale: int = 4) -> np.nda
     return out
 
 
-def make_tile_pair(rng: np.random.Generator, size: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (he_like, ihc_like, blob_mask) — uint8 RGB ×2 and uint8 {0,1} mask."""
+def make_tile_pair(
+    rng: np.random.Generator, size: int, deterministic: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (he_like, ihc_like, blob_mask) — uint8 RGB ×2 and uint8 {0,1} mask.
+
+    ``deterministic=True`` makes the target an EXACT function of the source:
+    the blob mask is derived from the shared structure field instead of an
+    independent noise draw, so source→target is perfectly learnable — the
+    noise-free control for quality experiments (an ideal model reaches
+    SSIM→1, and more ODE steps must not hurt). The default keeps the
+    independent blobs: a per-tile aleatoric component that caps achievable
+    SSIM by construction (matches real stains, where IHC positivity is not
+    fully inferable from H&E).
+    """
     base = _smooth_noise(rng, size)
     texture = 0.15 * rng.random((size, size))
     field = np.clip(base + texture, 0, 1)
@@ -42,7 +54,10 @@ def make_tile_pair(rng: np.random.Generator, size: int) -> tuple[np.ndarray, np.
         [0.7 + 0.25 * field, 0.4 + 0.3 * (1 - field), 0.75 + 0.2 * field], axis=-1
     )
     # "IHC": deterministic color transform of the same structure + brown blobs.
-    mask = (_smooth_noise(rng, size, scale=3) > 0.65).astype(np.uint8)
+    if deterministic:
+        mask = (field > 0.62).astype(np.uint8)
+    else:
+        mask = (_smooth_noise(rng, size, scale=3) > 0.65).astype(np.uint8)
     brown = np.stack([0.55 * np.ones_like(field), 0.35 * np.ones_like(field), 0.2 * np.ones_like(field)], axis=-1)
     ihc = np.stack([0.85 - 0.2 * field, 0.8 - 0.25 * field, 0.75 - 0.2 * field], axis=-1)
     ihc = np.where(mask[..., None] > 0, brown, ihc)
@@ -60,6 +75,7 @@ def generate_paired_dataset(
     with_mask: bool = False,
     num_mask_classes: int = 0,
     csv_name: str = "metadata.csv",
+    deterministic: bool = False,
 ) -> Path:
     """Write ``root/{train,val,test}/*.png`` + metadata CSV; returns root."""
     import cv2
@@ -71,7 +87,7 @@ def generate_paired_dataset(
         split_dir = root / split
         split_dir.mkdir(parents=True, exist_ok=True)
         for i in range(count):
-            he, ihc, mask = make_tile_pair(rng, size)
+            he, ihc, mask = make_tile_pair(rng, size, deterministic=deterministic)
             stem = f"{split}_{i:04d}"
             he_name, ihc_name = f"{stem}_he.png", f"{stem}_ihc.png"
             cv2.imwrite(str(split_dir / he_name), cv2.cvtColor(he, cv2.COLOR_RGB2BGR))

@@ -241,7 +241,21 @@ def evaluate_quality(
     if len(gen_np) >= 2:
         ext = extractor or FeatureExtractor()
         out["fid"] = fid(tgt_np, gen_np, ext)
-        out["fid_extractor"] = ext.name if hasattr(ext, "name") else "custom"
+        ext_name = ext.name if hasattr(ext, "name") else "custom"
+        out["fid_extractor"] = ext_name
+        out["fid_comparable"] = ext_name == "inception_v3_fid"
+        if not out["fid_comparable"]:
+            import sys
+
+            print(
+                "=" * 70
+                + "\nWARNING: FID computed with the fallback feature extractor "
+                f"({ext_name}).\nThis number is NOT comparable to published "
+                "Inception-FID values.\nConvert real InceptionV3 weights with "
+                "scripts/convert_inception_weights.py\nand set "
+                "S2S_INCEPTION_WEIGHTS to get comparable FIDs.\n" + "=" * 70,
+                file=sys.stderr,
+            )
     return out
 
 

@@ -207,13 +207,23 @@ class Sweeper:
             ):
                 best_val, best_params = value, params
 
+        import threading
+
+        journal_lock = threading.Lock()
+
         def run_one(trial: int, assignment: dict):
+            """Run one trial and journal it the moment it finishes — an
+            interrupt mid-batch then loses at most the in-flight trials, not
+            every finished trial of the batch (resume replays the journal)."""
             log.info(f"Trial {trial}/{self.n_trials}: {assignment}")
             try:
-                return float(objective(assignment))
+                value = float(objective(assignment))
             except Exception as ex:  # a failing trial must not kill the study
                 log.warning(f"Trial {trial} failed: {ex}")
-                return None
+                value = None
+            with journal_lock:
+                self._append_journal({"trial": trial, "params": assignment, "value": value})
+            return value
 
         attempts = len(records)
         n_jobs = max(1, int(self.n_jobs))
@@ -232,7 +242,6 @@ class Sweeper:
                         pool.map(run_one, range(attempts, attempts + batch), assignments)
                     )
             for assignment, value in zip(assignments, values):
-                self._append_journal({"trial": attempts, "params": assignment, "value": value})
                 attempts += 1
                 if value is None:
                     continue

@@ -80,6 +80,10 @@ class ModelCheckpoint(Callback):
         log_model: bool = True,  # register saved ckpts with the loggers
     ):
         self.log_model = log_model
+        # Lightning default (None → True for the 'last' write): save_last runs
+        # on EVERY train epoch end, so with check_val_every_n_epoch=N a crash
+        # loses at most one epoch, not N-1. False defers it to validation end.
+        self.save_on_train_epoch_end = save_on_train_epoch_end is not False
         self.dirpath = dirpath
         self.filename = filename
         self.monitor = monitor
@@ -102,6 +106,17 @@ class ModelCheckpoint(Callback):
     def _better(self, a: float, b: float) -> bool:
         return a < b if self.mode == "min" else a > b
 
+    def _save_last(self, trainer) -> None:
+        if self.save_last:
+            self.last_model_path = str(self._dir(trainer) / "last")
+            trainer.save_checkpoint(self.last_model_path)
+
+    def on_train_epoch_end(self, trainer, task) -> None:
+        if not trainer.is_global_zero or trainer.sanity_checking:
+            return
+        if self.save_on_train_epoch_end:
+            self._save_last(trainer)
+
     def on_validation_epoch_end(self, trainer, task) -> None:
         if not trainer.is_global_zero or trainer.sanity_checking:
             return
@@ -109,9 +124,8 @@ class ModelCheckpoint(Callback):
         metrics = trainer.callback_metrics
         base = self._dir(trainer)
 
-        if self.save_last:
-            self.last_model_path = str(base / "last")
-            trainer.save_checkpoint(self.last_model_path)
+        if not self.save_on_train_epoch_end:
+            self._save_last(trainer)
 
         if self.monitor is None or self.monitor not in metrics:
             return

@@ -260,8 +260,11 @@ class Trainer:
 
     def _fsdp_state_sharding(self, state: TrainState):
         # param_shardings on a single leaf returns that leaf's NamedSharding,
-        # so mapping it over opt_state shards the Adam moment trees (which
-        # mirror the params) identically and replicates scalars/hyperparams.
+        # so mapping it over opt_state shards whatever the moments look like:
+        # per-tensor trees mirroring the params (flatten=False) or the single
+        # FLAT_ALIGN-padded moment vectors (optim.flatten_padded, the default
+        # — padding keeps their length divisible by the fsdp axis so they
+        # shard instead of silently replicating). Scalars/hyperparams replicate.
         min_size = self.fsdp_min_size
         return state.replace(
             step=replicated_sharding(self.mesh),
@@ -520,18 +523,23 @@ class Trainer:
         # reproducible across trainers/runs (checkpoint-fidelity contract,
         # ref tests/test_eval.py:13-39) and removes epoch-to-epoch val noise.
         eval_rng = jax.random.key(current_seed())
+        # Prefer the loader's true pre-pad global counts: the local batch size
+        # already includes host-shard pad duplicates in multi-host runs.
+        real_of = getattr(loader, "real_batch_size", None)
         for i, batch in enumerate(loader):
             if i >= n_batches:
                 break
             if prefix == "val":
                 self._peek_val = batch
-            device_batch, n_real = self._device_batch(task, batch)
+            device_batch, n_local = self._device_batch(task, batch)
             metrics = self._eval_step_fn(self.state, device_batch, jax.random.fold_in(eval_rng, i))
-            weights.append(n_real)
+            weights.append(real_of(i) if callable(real_of) else n_local)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(v)
         # Example-weighted mean: a short final batch contributes by its real
-        # example count, not equally with the full batches.
+        # example count, not equally with the full batches. (Within the final
+        # batch, device-pad duplicates still enter its per-batch mean — exact
+        # per-example parity would need per-example metrics out of eval_step.)
         w = np.asarray(weights, dtype=np.float64)
         means = {
             f"{prefix}/{k}": float(np.sum(np.asarray([np.asarray(v) for v in vs]) * w) / w.sum())

@@ -196,3 +196,38 @@ def test_native_mask_batch_binarizes(paired_root):
     batch = dm.datasets["train"].get_batch([0, 1, 2])
     assert batch[2].shape == (3, 32, 32, 1)
     assert set(np.unique(batch[2])) <= {0, 1}
+
+
+def test_direction_reference_compat(paired_root, configs_dir):
+    """Config-level parity: the shipped paired_data.yaml (direction: HE_to_IHC,
+    direction_compat: reference) must swap the pair exactly like the reference
+    (/root/reference/src/data/paired_data_module.py:214 swaps for ANY value
+    other than 'S2T'), while direction_compat='explicit' keeps it forward."""
+    import warnings
+
+    import yaml
+
+    cfg = yaml.safe_load((configs_dir / "data" / "paired_data.yaml").read_text())
+    assert cfg["direction"] == "HE_to_IHC"
+    assert cfg.get("direction_compat", "reference") == "reference"
+
+    fwd = PairedDataModule(data_dir=str(paired_root), batch_size=2, image_size=32, num_workers=1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ref = PairedDataModule(
+            data_dir=str(paired_root), batch_size=2, image_size=32, num_workers=1,
+            direction=cfg["direction"], direction_compat="reference",
+        )
+        explicit = PairedDataModule(
+            data_dir=str(paired_root), batch_size=2, image_size=32, num_workers=1,
+            direction=cfg["direction"], direction_compat="explicit",
+        )
+        fwd.setup(), ref.setup(), explicit.setup()
+    assert any("REVERSE" in str(w.message) for w in caught), "swap warning must fire"
+    f = next(iter(fwd.val_dataloader()))
+    r = next(iter(ref.val_dataloader()))
+    e = next(iter(explicit.val_dataloader()))
+    np.testing.assert_array_equal(f[0], r[1])  # reference compat: swapped
+    np.testing.assert_array_equal(f[1], r[0])
+    np.testing.assert_array_equal(f[0], e[0])  # explicit: forward as written
+    np.testing.assert_array_equal(f[1], e[1])

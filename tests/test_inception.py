@@ -117,3 +117,24 @@ def test_avg_pool_count_include_pad():
     # corner: 4 valid of 9 taps
     np.testing.assert_allclose(float(incl[0, 0, 0, 0]), 4 / 9, rtol=1e-6)
     np.testing.assert_allclose(float(excl[0, 0, 0, 0]), 1.0, rtol=1e-6)
+
+
+def test_golden_pool3_activations():
+    """Committed golden fixture (tests/fixtures/inception_golden.npz,
+    regenerate with scripts/gen_inception_golden.py): the converter→BN-fold→
+    forward pipeline must reproduce the recorded pool3 activations exactly
+    (HIGHEST-precision convs → platform-stable to ~1e-4). Guards the FID
+    stack against silent numerical drift until real weights are obtainable."""
+    from pathlib import Path
+
+    from scripts.gen_inception_golden import golden_activations
+
+    fixture = Path(__file__).parent / "fixtures" / "inception_golden.npz"
+    assert fixture.exists(), "run scripts/gen_inception_golden.py to create it"
+    want = np.load(fixture)
+    got = golden_activations()
+    np.testing.assert_allclose(got["pool3_fid"], want["pool3_fid"], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(got["pool3_stock"], want["pool3_stock"], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        got["pool3_fid_norm"], want["pool3_fid_norm"], rtol=2e-3
+    )

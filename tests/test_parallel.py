@@ -88,3 +88,75 @@ def test_trainer_fsdp_end_to_end(tmp_path):
     # ragged eval batch (2 test examples over the mesh) pads and runs
     metrics = trainer.test(task, dm, ckpt_path=trainer.checkpoint_callback.last_model_path)
     assert np.isfinite(metrics["test/loss"])
+
+
+def test_flatten_padded_matches_per_tensor_adam():
+    """flatten_padded is a pure layout change: identical updates to the
+    per-tensor Adam chain, with the moment vectors padded to FLAT_ALIGN."""
+    import jax.numpy as jnp
+
+    from stain2stain_tpu.training.optim import FLAT_ALIGN, Adam
+
+    params = {
+        "w": jnp.linspace(-1.0, 1.0, 37, dtype=jnp.float32).reshape(37, 1),
+        "b": jnp.asarray([0.5, -0.25, 3.0], jnp.float32),
+    }
+    grads = jax.tree_util.tree_map(lambda p: 0.1 * p + 0.01, params)
+
+    flat_tx, plain_tx = Adam(lr=1e-3, flatten=True), Adam(lr=1e-3, flatten=False)
+    flat_state, plain_state = flat_tx.init(params), plain_tx.init(params)
+    for _ in range(3):
+        flat_up, flat_state = flat_tx.update(grads, flat_state, params)
+        plain_up, plain_state = plain_tx.update(grads, plain_state, params)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(flat_up[k]), np.asarray(plain_up[k]), rtol=1e-6, atol=1e-7
+            )
+    # the moment vectors are padded so any power-of-two fsdp axis divides them
+    moment_leaves = [
+        leaf for leaf in jax.tree_util.tree_leaves(flat_state)
+        if getattr(leaf, "ndim", 0) == 1 and leaf.size >= FLAT_ALIGN
+    ]
+    assert moment_leaves, "expected flat moment vectors in the optimizer state"
+    assert all(leaf.size % FLAT_ALIGN == 0 for leaf in moment_leaves)
+    # LR plateau controller still reaches the injected hyperparams
+    from stain2stain_tpu.training.optim import get_learning_rate, set_learning_rate
+
+    assert get_learning_rate(flat_state) == pytest.approx(1e-3)
+    flat_state = set_learning_rate(flat_state, 5e-4)
+    assert get_learning_rate(flat_state) == pytest.approx(5e-4)
+
+
+@needs_multi_device
+def test_fsdp_shards_flat_optimizer_moments(tmp_path):
+    """The ZeRO axis must cover the optimizer state: with the default
+    flatten=True Adam, the padded flat moment vectors carry 'fsdp' in their
+    PartitionSpec under the Trainer's fsdp path (ADVICE r2: unpadded flat
+    moments silently replicated ~280 MB/moment/device)."""
+    from stain2stain_tpu.data import PairedDataModule
+    from stain2stain_tpu.data.synthetic import generate_paired_dataset
+    from stain2stain_tpu.models import UNetModel
+    from stain2stain_tpu.tasks import ConditionalFlowMatchingModule
+    from stain2stain_tpu.training import Adam, Trainer
+
+    if jax.device_count() % 2:
+        pytest.skip("needs an even device count for fsdp=2")
+    root = generate_paired_dataset(tmp_path / "d", n_train=4, n_val=2, n_test=2, size=20)
+    dm = PairedDataModule(data_dir=str(root), batch_size=4, image_size=16, num_workers=1)
+    net = UNetModel(
+        dim=(3, 16, 16), num_channels=8, num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions="", num_heads=1,
+        fused_attention=jax.default_backend() == "tpu",
+    )
+    task = ConditionalFlowMatchingModule(net=net, optimizer=lambda: Adam(lr=1e-3))
+    trainer = Trainer(
+        default_root_dir=str(tmp_path / "logs"), max_epochs=1, fsdp=2,
+        fsdp_min_size=8, limit_train_batches=1, limit_val_batches=1, logger=False,
+    )
+    trainer.fit(task, dm)
+    sharded = [
+        leaf for leaf in jax.tree_util.tree_leaves(trainer.state.opt_state)
+        if any(ax == "fsdp" for ax in (getattr(leaf.sharding, "spec", ()) or ()) if ax)
+    ]
+    # both Adam moment vectors (mu, nu) at minimum
+    assert len(sharded) >= 2, "flat Adam moments not sharded over the fsdp axis"
