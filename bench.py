@@ -43,7 +43,8 @@ MFU_REF = 0.40
 WARMUP, STEPS = 3, 20
 
 
-def build(image_size: int, use_checkpoint, fused_attention=None):
+def build(image_size: int, use_checkpoint, fused_attention=None, fused_conv=None,
+          dropout=0.1):
     from stain2stain_tpu.models import UNetModel
     from stain2stain_tpu.tasks import ConditionalFlowMatchingModule
     from stain2stain_tpu.training.optim import Adam
@@ -54,12 +55,13 @@ def build(image_size: int, use_checkpoint, fused_attention=None):
         num_res_blocks=2,
         channel_mult=(1, 2, 2, 4),
         attention_resolutions="16,8",
-        dropout=0.1,
+        dropout=dropout,
         num_heads=4,
         num_head_channels=32,
         use_scale_shift_norm=True,
         use_checkpoint=use_checkpoint,
         fused_attention=fused_attention,
+        fused_conv=fused_conv,
         dtype=jnp.bfloat16,
     )
     task = ConditionalFlowMatchingModule(net=net, optimizer=lambda: Adam(lr=1e-4))
@@ -71,11 +73,12 @@ def _is_oom(exc: Exception) -> bool:
     return "resource_exhausted" in msg or "out of memory" in msg or "exceeded hbm" in msg
 
 
-def measure_train(image_size: int, batch_sizes, use_checkpoint=False, fused_attention=None):
+def measure_train(image_size: int, batch_sizes, use_checkpoint=False, fused_attention=None,
+                  fused_conv=None, dropout=0.1, prng_impl="threefry2x32"):
     """(batch, tiles/s, step_flops, mfu) at the largest batch that fits."""
     from stain2stain_tpu.training.state import TrainState
 
-    task = build(image_size, use_checkpoint, fused_attention)
+    task = build(image_size, use_checkpoint, fused_attention, fused_conv, dropout=dropout)
     tx, _ = task.configure_optimizers()
 
     for batch_size in batch_sizes:
@@ -106,9 +109,9 @@ def measure_train(image_size: int, batch_sizes, use_checkpoint=False, fused_atte
                 return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt), loss
 
             step = jax.jit(train_step, donate_argnums=(0,))
-            compiled = step.lower(state, src, tgt, jax.random.key(2)).compile()
+            rng = jax.random.key(2, impl=prng_impl)
+            compiled = step.lower(state, src, tgt, rng).compile()
             step_flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
-            rng = jax.random.key(2)
             for _ in range(WARMUP):
                 state, loss = step(state, src, tgt, rng)
             float(loss)  # full host sync — the axon tunnel's block_until_ready
@@ -176,7 +179,9 @@ def _run_mode(mode: str) -> None:
     a previous measurement otherwise pin HBM and cascade OOMs — each worked
     standalone, the sequence in one process did not)."""
     if mode == "train256":
-        result = measure_train(256, (32, 16, 8))
+        # rbg PRNG = the Trainer's TPU default (threefry dropout masks alone
+        # cost ~24%/step; measured 797 -> 681 ms, scripts/step_ablation.py)
+        result = measure_train(256, (32, 16, 8), prng_impl="rbg")
         if result is None:
             raise RuntimeError("256px train benchmark OOMed at every batch size")
         batch_size, tiles_per_sec, step_flops, mfu = result
@@ -194,7 +199,8 @@ def _run_mode(mode: str) -> None:
         # einsum attention at 512: the Pallas kernel compiles standalone at
         # 4096 tokens but the remote helper still crashes compiling it inside
         # the full 512px program; XLA's einsum path compiles and runs.
-        result = measure_train(512, (4,), use_checkpoint="level", fused_attention=False)
+        result = measure_train(512, (4,), use_checkpoint="level", fused_attention=False,
+                               prng_impl="rbg")
         print(json.dumps(None if result is None else
                          {"batch": result[0], "tiles": result[1], "mfu": result[3]}))
     else:

@@ -61,17 +61,29 @@ def conv_tapsum(x, w):
     return out.astype(x.dtype)
 
 
-def timed(fn, *args) -> float:
-    out = fn(*args)
+def timed(step, carry_init, n_iter: int = 16) -> float:
+    """ms per iteration of ``carry = step(carry)`` chained n_iter times INSIDE
+    one jitted lax.scan — per-call dispatch through the axon tunnel costs
+    ~25-30 ms, so op-level timing must amortize it inside a single program."""
+
+    @jax.jit
+    def chained(carry):
+        def body(c, _):
+            return step(c), ()
+
+        out, _ = jax.lax.scan(body, carry, None, length=n_iter)
+        return out
+
+    out = chained(carry_init)
     for _ in range(WARMUP):
-        out = fn(*args)
+        out = chained(carry_init)
     # pull a scalar: block_until_ready returns early through the axon tunnel
-    float(jnp.sum(out[0] if isinstance(out, tuple) else out).astype(jnp.float32))
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]).astype(jnp.float32))
     t0 = time.perf_counter()
     for _ in range(REPS):
-        out = fn(*args)
-        float(jnp.sum(out[0] if isinstance(out, tuple) else out).astype(jnp.float32))
-    return (time.perf_counter() - t0) / REPS
+        out = chained(carry_init)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]).astype(jnp.float32))
+    return (time.perf_counter() - t0) / REPS / n_iter
 
 
 def probe(shape) -> None:
@@ -83,18 +95,32 @@ def probe(shape) -> None:
     dy = jax.random.normal(kg, (B, H, W, Cout), jnp.bfloat16)
 
     for name, conv in (("xla", conv_xla), ("tapsum", conv_tapsum)):
-        fwd = jax.jit(conv)
-        dx_fn = jax.jit(lambda x, w, dy: jax.vjp(conv, x, w)[1](dy)[0])
-        dw_fn = jax.jit(lambda x, w, dy: jax.vjp(conv, x, w)[1](dy)[1])
-        both = jax.jit(lambda x, w, dy: jax.vjp(conv, x, w)[1](dy))
-        for pname, fn, args, f in (
-            ("fwd", fwd, (x, w), flops),
-            ("dx", dx_fn, (x, w, dy), flops),
-            ("dw", dw_fn, (x, w, dy), flops),
-            ("dx+dw", both, (x, w, dy), 2 * flops),
+        # Feedback keeps the chain data-dependent (Cin == Cout at every UNet
+        # level, so outputs are re-feedable); small scales stop blow-up.
+        def fwd_step(x_, conv=conv):
+            return (conv(x_, w) * 0.01).astype(x.dtype)
+
+        def dx_step(dy_, conv=conv):
+            dx_ = jax.vjp(lambda x_: conv(x_, w), x)[1](dy_)[0]
+            return (dx_ * 0.01).astype(dy.dtype)
+
+        def dw_step(w_, conv=conv):
+            dw_ = jax.vjp(lambda ww: conv(x, ww), w_)[1](dy)[0]
+            return (dw_ * 1e-4).astype(w.dtype)
+
+        def both_step(carry, conv=conv):
+            x_, w_ = carry
+            dx_, dw_ = jax.vjp(conv, x_, w_)[1](dy)
+            return ((dx_ * 0.01).astype(x.dtype), (dw_ * 1e-4).astype(w.dtype))
+
+        for pname, step, init, f in (
+            ("fwd", fwd_step, x, flops),
+            ("dx", dx_step, dy, flops),
+            ("dw", dw_step, w, flops),
+            ("dx+dw", both_step, (x, w), 2 * flops),
         ):
             try:
-                dt = timed(fn, *args)
+                dt = timed(step, init)
                 mfu = f / dt / V5E_BF16_FLOPS
                 print(
                     f"B{B} {H}x{W} c{Cin}->{Cout} {name:7s} {pname:6s} "

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""512px operating-point experiments (VERDICT round-3 ask #3).
+
+Each mode in its OWN process (axon HBM hygiene):
+  attn_b4    — batch 4, level remat, Pallas attention ON (round-2 crash retest)
+  einsum_b8  — batch 8, level remat, einsum attention (fused-norm headroom)
+  fusedconv  — batch 4, NO remat, fused_conv=True (the kernel's VJP stores no
+               normalized activations — substitute for remat at the
+               memory-bound point)
+  fusedconv_blk — batch 4, block remat, fused_conv=True
+
+Usage: python scripts/exp512.py <mode> | all
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+MODES = {
+    "attn_b4": dict(batch_sizes=(4,), use_checkpoint="level", fused_attention=True),
+    "einsum_b8": dict(batch_sizes=(8, 6), use_checkpoint="level", fused_attention=False),
+    "fusedconv": dict(batch_sizes=(4,), use_checkpoint=False, fused_attention=False,
+                      fused_conv=True),
+    "fusedconv_blk": dict(batch_sizes=(4,), use_checkpoint="block",
+                          fused_attention=False, fused_conv=True),
+}
+
+
+def run(mode: str) -> None:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", str(REPO_ROOT / ".jax_compile_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import bench
+
+    cfg = dict(MODES[mode])
+    batch_sizes = cfg.pop("batch_sizes")
+    result = bench.measure_train(512, batch_sizes, **cfg)
+    print(f"EXP512 {mode}: {result}", flush=True)
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "all":
+        for mode in sys.argv[2:] or MODES:
+            t0 = time.time()
+            try:
+                proc = subprocess.run(
+                    [sys.executable, __file__, mode], capture_output=True,
+                    text=True, timeout=2400,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"EXP512 {mode}: TIMEOUT", flush=True)
+                time.sleep(120)
+                continue
+            for line in proc.stderr.splitlines():
+                if line.startswith("#") or "Error" in line or "error:" in line:
+                    print(f"[{mode}] {line[:300]}", flush=True)
+            print(proc.stdout.strip() or f"EXP512 {mode}: rc={proc.returncode}",
+                  f"({time.time()-t0:.0f}s)", flush=True)
+            time.sleep(90)
+    else:
+        run(sys.argv[1])

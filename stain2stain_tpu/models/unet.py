@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stain2stain_tpu.ops import pallas_conv
 from stain2stain_tpu.ops.norms import group_norm, group_norm_film_silu, group_norm_silu
 from stain2stain_tpu.ops.time_embedding import timestep_embedding_adm
 
@@ -82,21 +83,85 @@ class FusedGroupNorm(nn.Module):
         return group_norm(x, gamma, beta, groups, self.eps)
 
 
+class _GNParams(nn.Module):
+    """Declares GroupNorm γ/β with FusedGroupNorm's param names ('scale',
+    'bias') so fused- and unfused-conv checkpoints are interchangeable."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return gamma, beta
+
+
+class _Conv3Params(nn.Module):
+    """Declares a 3×3 conv kernel/bias with nn.Conv's param names/shapes."""
+
+    in_ch: int
+    out_ch: int
+    zeros_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = nn.initializers.zeros if self.zeros_init else nn.initializers.lecun_normal()
+        kernel = self.param("kernel", init, (3, 3, self.in_ch, self.out_ch), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,), jnp.float32)
+        return kernel, bias
+
+
 class ResBlock(nn.Module):
-    """ADM residual block with FiLM time-embedding conditioning."""
+    """ADM residual block with FiLM time-embedding conditioning.
+
+    ``fused_conv=True`` selects the Pallas GN→(FiLM)→SiLU→dropout→conv
+    pipeline (ops/pallas_conv.py) when the level shape meets the kernel's
+    layout contract (TPU + bf16 only). It is OFF by default: the measured
+    A/B at the flagship level shapes (scripts/fused_conv_bench.py, round 3)
+    put the fused fwd+bwd at ~44% MFU vs XLA's ~63% for the same composite —
+    XLA's conv backward kernels are better than the per-op probes suggested.
+    The fused path's remaining edge is memory: its custom VJP stores only raw
+    inputs (no normalized activations), so it can substitute for
+    rematerialization at memory-bound operating points (512px). Param
+    names/shapes are identical across fused/unfused, so checkpoints are
+    interchangeable.
+    """
 
     out_channels: int
     dropout: float = 0.0
     use_scale_shift_norm: bool = True
     up: bool = False
     down: bool = False
+    fused_conv: Optional[bool] = None
     dtype: Any = jnp.float32
+
+    def _fused_enabled(self, x: jax.Array) -> bool:
+        in_ch = x.shape[-1]
+        shapes_ok = pallas_conv.supported(
+            x.shape, (3, 3, in_ch, self.out_channels)
+        ) and pallas_conv.supported(
+            (*x.shape[:3], self.out_channels),
+            (3, 3, self.out_channels, self.out_channels),
+        )
+        eligible = (
+            not (self.up or self.down)
+            and self.use_scale_shift_norm
+            and self.dtype == jnp.bfloat16
+            and shapes_ok
+        )
+        if self.fused_conv is None:
+            return False  # measured slower than XLA's conv bwd; opt-in only
+        return self.fused_conv and eligible and jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False) -> jax.Array:
         # ``train`` is positional (not keyword-only) so nn.remat can mark it
         # static (static_argnums) — a traced bool breaks dropout's branch.
         in_ch = x.shape[-1]
+
+        if self._fused_enabled(x):
+            return self._fused_call(x, emb, train)
+
         h = FusedGroupNorm(tail="silu", name="norm_in")(x).astype(self.dtype)
 
         if self.up:
@@ -128,6 +193,41 @@ class ResBlock(nn.Module):
             kernel_init=nn.initializers.zeros,
             name="conv_out",
         )(h)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip_proj")(x)
+        return (x + h).astype(self.dtype)
+
+    def _fused_call(self, x: jax.Array, emb: jax.Array, train: bool) -> jax.Array:
+        in_ch = x.shape[-1]
+        gamma_in, beta_in = _GNParams(in_ch, name="norm_in")()
+        k_in, b_in = _Conv3Params(in_ch, self.out_channels, name="conv_in")()
+        h = pallas_conv.norm_act_conv(
+            x, k_in, b_in, gamma_in, beta_in,
+            groups=_gn_groups(in_ch), act="silu",
+        )
+
+        emb_out = nn.Dense(
+            2 * self.out_channels, dtype=self.dtype, name="emb_proj"
+        )(nn.silu(emb.astype(self.dtype)))
+        film_scale, film_shift = jnp.split(emb_out.astype(jnp.float32), 2, axis=-1)
+
+        rate = self.dropout if train else 0.0
+        seed = None
+        if rate > 0.0:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+            )
+        gamma_out, beta_out = _GNParams(self.out_channels, name="norm_out")()
+        k_out, b_out = _Conv3Params(
+            self.out_channels, self.out_channels, zeros_init=True, name="conv_out"
+        )()
+        h = pallas_conv.norm_act_conv(
+            h, k_out, b_out, gamma_out, beta_out,
+            film_scale=film_scale, film_shift=film_shift,
+            groups=_gn_groups(self.out_channels), act="silu",
+            dropout_rate=rate, seed=seed,
+        )
 
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip_proj")(x)
@@ -205,6 +305,7 @@ class _DownBlock(nn.Module):
     dropout: float
     use_scale_shift_norm: bool
     fused_attention: Optional[bool]
+    fused_conv: Optional[bool]
     dtype: Any
 
     @nn.compact
@@ -213,6 +314,7 @@ class _DownBlock(nn.Module):
             self.out_channels,
             dropout=self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
+            fused_conv=self.fused_conv,
             dtype=self.dtype,
             name="res",
         )(h, emb, train)
@@ -235,6 +337,7 @@ class _UpBlock(nn.Module):
     dropout: float
     use_scale_shift_norm: bool
     fused_attention: Optional[bool]
+    fused_conv: Optional[bool]
     dtype: Any
 
     @nn.compact
@@ -244,6 +347,7 @@ class _UpBlock(nn.Module):
             self.out_channels,
             dropout=self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
+            fused_conv=self.fused_conv,
             dtype=self.dtype,
             name="res",
         )(h, emb, train)
@@ -268,6 +372,7 @@ class _DownLevel(nn.Module):
     dropout: float
     use_scale_shift_norm: bool
     fused_attention: Optional[bool]
+    fused_conv: Optional[bool]
     remat_blocks: bool
     dtype: Any
     downsample: str = "none"  # "none" | "conv" | "pool" | "res"
@@ -285,6 +390,7 @@ class _DownLevel(nn.Module):
                 self.dropout,
                 self.use_scale_shift_norm,
                 self.fused_attention,
+                self.fused_conv,
                 self.dtype,
                 name=f"block_{i}",
             )(h, emb, train)
@@ -320,6 +426,7 @@ class _UpLevel(nn.Module):
     dropout: float
     use_scale_shift_norm: bool
     fused_attention: Optional[bool]
+    fused_conv: Optional[bool]
     remat_blocks: bool
     dtype: Any
     upsample: str = "none"  # "none" | "conv" | "pool" | "res"
@@ -348,6 +455,7 @@ class _UpLevel(nn.Module):
                 self.dropout,
                 self.use_scale_shift_norm,
                 self.fused_attention,
+                self.fused_conv,
                 self.dtype,
                 name=f"block_{i}",
             )(h, skips[i], emb, train)
@@ -361,6 +469,7 @@ class _MidBlocks(nn.Module):
     dropout: float
     use_scale_shift_norm: bool
     fused_attention: Optional[bool]
+    fused_conv: Optional[bool]
     dtype: Any
 
     @nn.compact
@@ -368,6 +477,7 @@ class _MidBlocks(nn.Module):
         kw = dict(
             dropout=self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
+            fused_conv=self.fused_conv,
             dtype=self.dtype,
         )
         h = ResBlock(h.shape[-1], name="res_0", **kw)(h, emb, train)
@@ -405,6 +515,7 @@ class UNetModel(nn.Module):
     conv_resample: bool = True
     use_checkpoint: Any = False  # False | True/"block" | "level"
     fused_attention: Optional[bool] = None  # None = Pallas kernel on TPU
+    fused_conv: Optional[bool] = None  # None = Pallas GN+SiLU+conv on TPU/bf16
     dtype: Any = jnp.float32
 
     def _attention_ds(self) -> tuple:
@@ -485,6 +596,7 @@ class UNetModel(nn.Module):
                 self.dropout,
                 self.use_scale_shift_norm,
                 self.fused_attention,
+                self.fused_conv,
                 remat_blocks,
                 self.dtype,
                 downsample="none" if last else resample,
@@ -500,6 +612,7 @@ class UNetModel(nn.Module):
             self.dropout,
             self.use_scale_shift_norm,
             self.fused_attention,
+            self.fused_conv,
             self.dtype,
             name="mid",
         )(h, emb, train)
@@ -515,6 +628,7 @@ class UNetModel(nn.Module):
                 self.dropout,
                 self.use_scale_shift_norm,
                 self.fused_attention,
+                self.fused_conv,
                 remat_blocks,
                 self.dtype,
                 upsample="none" if level == n_levels - 1 else resample,

