@@ -136,6 +136,68 @@ def measure_train(image_size: int, batch_sizes, use_checkpoint=False, fused_atte
     return None
 
 
+def measure_train_chained(image_size: int, batch_size: int, chain: int = 5,
+                          prng_impl="rbg", **build_kw):
+    """tiles/s with ``chain`` train steps fused into ONE program via lax.scan.
+
+    The per-step methodology pulls a scalar to host every step (the axon
+    tunnel's block_until_ready returns early), which charges a full host
+    round-trip per step. A real training loop dispatches steps back-to-back,
+    so the chained number is the production-faithful throughput; the delta
+    vs measure_train is the tunnel-dispatch overhead.
+    """
+    from stain2stain_tpu.training.state import TrainState
+
+    task = build(image_size, build_kw.pop("use_checkpoint", False), **build_kw)
+    tx, _ = task.configure_optimizers()
+    src_rng, tgt_rng = jax.random.split(jax.random.key(0))
+    src = jax.random.randint(src_rng, (batch_size, image_size, image_size, 3), 0, 256, jnp.uint8)
+    tgt = jax.random.randint(tgt_rng, (batch_size, image_size, image_size, 3), 0, 256, jnp.uint8)
+    variables = task.init_variables(
+        jax.random.key(1), (jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32),)
+    )
+    state = TrainState.create(variables, tx)
+
+    def one_step(state, src, tgt, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        prep_rng, loss_rng = jax.random.split(step_rng)
+        batch = task.prepare_batch((src, tgt), prep_rng, train=True)
+
+        def loss_fn(params):
+            loss, metrics, _ = task.loss_and_metrics(
+                {"params": params}, batch, loss_rng, train=True
+            )
+            return loss, metrics
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt), loss
+
+    def chunk(state, src, tgt, rng):
+        def body(st, _):
+            st, loss = one_step(st, src, tgt, rng)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, None, length=chain)
+        return state, losses[-1]
+
+    step = jax.jit(chunk, donate_argnums=(0,))
+    rng = jax.random.key(2, impl=prng_impl)
+    for _ in range(2):
+        state, loss = step(state, src, tgt, rng)
+    float(loss)
+    n_chunks = max(1, STEPS // chain)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, loss = step(state, src, tgt, rng)
+        float(loss)
+    dt = (time.perf_counter() - t0) / (n_chunks * chain)
+    print(f"# train-chained {image_size}px batch={batch_size} x{chain}: "
+          f"{dt*1e3:.1f} ms/step", file=sys.stderr)
+    return batch_size / dt
+
+
 def measure_generate(image_size: int, batch_sizes, num_steps: int):
     """tiles/s for an N-step compiled generate at the largest batch that fits."""
     task = build(image_size, False)
@@ -195,11 +257,19 @@ def _run_mode(mode: str) -> None:
         # /root/reference/src/infer_multitask_multiclassloss.py:34)
         infer = measure_generate(256, (32, 16, 8), num_steps=50)
         print(json.dumps({"tiles": infer}))
+    elif mode == "train256_chain":
+        # 5 steps fused per dispatch: the production-faithful number (a real
+        # loop dispatches steps back-to-back; per-step timing pays a ~20-27 ms
+        # tunnel round-trip per step on this box).
+        tiles = measure_train_chained(256, 32, chain=5, prng_impl="rbg")
+        print(json.dumps({"tiles": tiles}))
     elif mode == "train512":
-        # einsum attention at 512: the Pallas kernel compiles standalone at
-        # 4096 tokens but the remote helper still crashes compiling it inside
-        # the full 512px program; XLA's einsum path compiles and runs.
-        result = measure_train(512, (4,), use_checkpoint="level", fused_attention=False,
+        # Pallas attention at 4096 tokens now compiles inside the full 512px
+        # program (round-2's remote-helper crash no longer reproduces) and
+        # beats einsum by ~7.5% (scripts/exp512.py); batch 6/8 OOM even with
+        # level remat, and fused_conv-instead-of-remat OOMs (non-conv
+        # residuals dominate at 512px).
+        result = measure_train(512, (4,), use_checkpoint="level", fused_attention=True,
                                prng_impl="rbg")
         print(json.dumps(None if result is None else
                          {"batch": result[0], "tiles": result[1], "mfu": result[3]}))
@@ -254,6 +324,10 @@ def main() -> None:
     if not train:
         raise RuntimeError("256px train benchmark failed")
     extra.update({"train_batch_256": train["batch"], "train_mfu_256": round(train["mfu"], 3)})
+    time.sleep(60)
+    chained = _sub("train256_chain")
+    if chained and chained.get("tiles"):
+        extra["train_chained_tiles_per_sec_256"] = round(chained["tiles"], 2)
     time.sleep(60)
     # The reference's default 512px operating point: level-remat + einsum
     # attention fits the 4x-activation step on one chip (grad-accum covers

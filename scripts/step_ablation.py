@@ -27,6 +27,8 @@ MODES = {
     "rbg": dict(dropout=0.1, prng_impl="rbg"),
     "nodrop": dict(dropout=0.0),
     "nodrop_na": dict(dropout=0.0, attention=False),
+    "chain": dict(chained=True),  # 5 steps fused per dispatch, rbg
+    "optonly": dict(optonly=True),  # flat-Adam update alone, scan-chained
 }
 
 
@@ -40,6 +42,43 @@ def run(mode: str) -> None:
     import bench
 
     cfg = dict(MODES[mode])
+    if cfg.pop("chained", False):
+        tiles = bench.measure_train_chained(256, 32)
+        print(f"ABLATION {mode}: {tiles} tiles/s", flush=True)
+        return
+    if cfg.pop("optonly", False):
+        import time as _time
+
+        import jax.numpy as jnp
+
+        task = bench.build(256, False)
+        tx, _ = task.configure_optimizers()
+        variables = task.init_variables(
+            jax.random.key(1), (jnp.zeros((1, 256, 256, 3), jnp.float32),)
+        )
+        params = variables["params"]
+        grads = jax.tree_util.tree_map(lambda p: 0.01 * jnp.ones_like(p), params)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def chained(params, opt_state):
+            def body(carry, _):
+                p, o = carry
+                updates, o2 = tx.update(grads, o, p)
+                p2 = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+                return (p2, o2), ()
+
+            return jax.lax.scan(body, (params, opt_state), None, length=12)[0]
+
+        out = chained(params, opt_state)
+        float(jnp.sum(jax.tree_util.tree_leaves(out[0])[0]).astype(jnp.float32))
+        t0 = _time.perf_counter()
+        for _ in range(4):
+            out = chained(params, opt_state)
+            float(jnp.sum(jax.tree_util.tree_leaves(out[0])[0]).astype(jnp.float32))
+        dt = (_time.perf_counter() - t0) / 4 / 12
+        print(f"ABLATION optonly: {dt*1e3:.2f} ms per Adam update", flush=True)
+        return
     if not cfg.pop("attention", True):
         import stain2stain_tpu.models.unet as unet_mod
 
@@ -53,7 +92,7 @@ def run(mode: str) -> None:
 
 if __name__ == "__main__":
     if sys.argv[1] == "all":
-        for mode in MODES:
+        for mode in sys.argv[2:] or MODES:
             t0 = time.time()
             proc = subprocess.run(
                 [sys.executable, __file__, mode], capture_output=True, text=True,

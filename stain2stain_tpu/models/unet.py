@@ -19,7 +19,10 @@ bf16 compute / f32 params via the ``dtype`` knob, attention in f32,
 static shapes everywhere, and a two-tier rematerialization knob
 (``use_checkpoint``): ``"block"`` remats each res/attention block (saves every
 block input), ``"level"`` remats whole resolution levels (saves only level
-boundaries + skips — the layout that fits batch 64 @ 256px on one v5e chip).
+boundaries + skips). Measured round 3: batch 64 @ 256px does NOT fit on one
+v5e chip even with level remat (flagship train step OOMs); batch 32 without
+source remat is the 256px operating point, and 512px trains at batch 4 with
+level remat.
 The up-path skip concatenation happens INSIDE the rematted region, so the
 double-width concat tensors — the dominant HLO temps at 256px — are
 recomputed in the backward instead of stored.

@@ -13,6 +13,7 @@ pytestmark = pytest.mark.slow
 import os
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -136,3 +137,21 @@ def test_profiler_simple_and_jax(tmp_path, capsys):
     train(cfg2)
     traces = list((tmp_path / "out").rglob("profile/**/*"))
     assert traces, "jax profiler trace not written"
+
+
+def test_trainer_prng_impl_resolution():
+    """prng_impl: explicit wins; deterministic forces threefry; auto picks the
+    TPU hardware RBG generator only on TPU (measured 24%-of-step threefry
+    dropout cost, scripts/step_ablation.py)."""
+    from stain2stain_tpu.training import Trainer
+
+    t = Trainer(prng_impl="rbg")
+    assert t.prng_impl == "rbg"
+    assert "rbg" in str(jax.random.key_impl(t.next_rng()))
+
+    t_det = Trainer(deterministic=True)
+    assert t_det.prng_impl == "threefry2x32"
+
+    t_auto = Trainer()
+    expected = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    assert t_auto.prng_impl == expected
