@@ -53,7 +53,9 @@ def smoke_ckpt(tmp_path_factory):
     return tmp, objects["trainer"].checkpoint_callback.last_model_path
 
 
-def run_cli(script, args, tmp, timeout=560):
+def run_cli(script, args, tmp, timeout=900):
+    # 900 s: after a model-code change the persistent compile cache misses and
+    # one-time XLA compiles through the dev tunnel alone take ~5-6 min.
     cmd = [
         sys.executable,
         str(REPO_ROOT / "src" / script),
