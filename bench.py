@@ -257,6 +257,10 @@ def _run_mode(mode: str) -> None:
         # /root/reference/src/infer_multitask_multiclassloss.py:34)
         infer = measure_generate(256, (32, 16, 8), num_steps=50)
         print(json.dumps({"tiles": infer}))
+    elif mode == "gen512":
+        # the reference's default tile size at its simple-FM inference setting
+        infer = measure_generate(512, (16, 8, 4), num_steps=2)
+        print(json.dumps({"tiles": infer}))
     elif mode == "train256_chain":
         # 5 steps fused per dispatch: the production-faithful number (a real
         # loop dispatches steps back-to-back; per-step timing pays a ~20-27 ms
@@ -319,6 +323,10 @@ def main() -> None:
     gen50 = _sub("gen256_50")
     if gen50 and gen50.get("tiles"):
         extra["infer_50step_tiles_per_sec_256"] = round(gen50["tiles"], 2)
+    time.sleep(60)
+    gen512 = _sub("gen512")
+    if gen512 and gen512.get("tiles"):
+        extra["infer_2step_tiles_per_sec_512"] = round(gen512["tiles"], 2)
     time.sleep(60)
     train = _sub("train256")
     if not train:
