@@ -316,15 +316,17 @@ def main() -> None:
     # axon terminal reclaims a previous subprocess's HBM lazily — running them
     # after the 13.5-GiB train step OOMed them out of BENCH_r02 entirely.
     extra = {}
-    gen = _sub("gen256")
+    # Cold-cache compiles of the batch-64 generate program exceed 25 min
+    # through the dev tunnel — give generate rows a bigger per-row budget.
+    gen = _sub("gen256", timeout_s=3000)
     if gen and gen.get("tiles"):
         extra["infer_2step_tiles_per_sec_256"] = round(gen["tiles"], 2)
     time.sleep(60)  # let the terminal reclaim the generate buffers
-    gen50 = _sub("gen256_50")
+    gen50 = _sub("gen256_50", timeout_s=2400)
     if gen50 and gen50.get("tiles"):
         extra["infer_50step_tiles_per_sec_256"] = round(gen50["tiles"], 2)
     time.sleep(60)
-    gen512 = _sub("gen512")
+    gen512 = _sub("gen512", timeout_s=2400)
     if gen512 and gen512.get("tiles"):
         extra["infer_2step_tiles_per_sec_512"] = round(gen512["tiles"], 2)
     time.sleep(60)
