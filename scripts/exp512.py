@@ -9,6 +9,12 @@ Each mode in its OWN process (axon HBM hygiene):
                memory-bound point)
   fusedconv_blk — batch 4, block remat, fused_conv=True
 
+Post-FastDropout probes (dropout residuals are now storage-free, so remat
+granularity can potentially be relaxed — ops/dropout.py):
+  drop_blk_b4  — batch 4, BLOCK remat (cheaper recompute than level), Pallas
+                 attention, rbg
+  drop_lvl_b6  — batch 6, level remat, Pallas attention, rbg (batch-6 retry)
+
 Usage: python scripts/exp512.py <mode> | all
 """
 
@@ -30,6 +36,10 @@ MODES = {
                       fused_conv=True),
     "fusedconv_blk": dict(batch_sizes=(4,), use_checkpoint="block",
                           fused_attention=False, fused_conv=True),
+    "drop_blk_b4": dict(batch_sizes=(4,), use_checkpoint="block",
+                        fused_attention=True, prng_impl="rbg"),
+    "drop_lvl_b6": dict(batch_sizes=(6,), use_checkpoint="level",
+                        fused_attention=True, prng_impl="rbg"),
 }
 
 
