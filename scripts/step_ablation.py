@@ -29,6 +29,10 @@ MODES = {
     "nodrop_na": dict(dropout=0.0, attention=False),
     "chain": dict(chained=True),  # 5 steps fused per dispatch, rbg
     "optonly": dict(optonly=True),  # flat-Adam update alone, scan-chained
+    # A/B control: the pre-round-3 nn.Dropout path (f32 uniform + stored bool
+    # mask) instead of ops/dropout.py's FastDropout — reproduces the old
+    # step time on demand.
+    "flaxdrop": dict(dropout=0.1, prng_impl="rbg", flax_dropout=True),
 }
 
 
@@ -79,6 +83,19 @@ def run(mode: str) -> None:
         dt = (_time.perf_counter() - t0) / 4 / 12
         print(f"ABLATION optonly: {dt*1e3:.2f} ms per Adam update", flush=True)
         return
+    if cfg.pop("flax_dropout", False):
+        from flax import linen as nn
+
+        import stain2stain_tpu.models.unet as unet_mod
+
+        class _FlaxDropout(nn.Module):
+            rate: float
+
+            @nn.compact
+            def __call__(self, x, deterministic):
+                return nn.Dropout(self.rate, deterministic=deterministic)(x)
+
+        unet_mod.FastDropout = _FlaxDropout
     if not cfg.pop("attention", True):
         import stain2stain_tpu.models.unet as unet_mod
 
