@@ -82,6 +82,28 @@ def test_infer_simple_cli_writes_panels(smoke_ckpt):
     assert len(panels) == 2
 
 
+def test_infer_wsi_cli_translates_arbitrary_size(smoke_ckpt):
+    """Whole-slide CLI: a 48x72 input (neither dim a tile multiple) comes
+    back at full size through the 32px tiled compiled generator."""
+    import numpy as np
+
+    tmp, ckpt = smoke_ckpt
+    src = np.random.default_rng(0).integers(0, 256, (48, 72, 3), dtype=np.uint8)
+    np.save(tmp / "slide.npy", src)
+    res = run_cli(
+        "infer_wsi.py",
+        [
+            f"ckpt_path={ckpt}", f"input={tmp}/slide.npy", f"output={tmp}/out.npy",
+            "num_steps=2", "tile=32", "overlap=8", "wsi_batch=4",
+        ],
+        tmp,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = np.load(tmp / "out.npy")
+    assert out.shape == (48, 72, 3)
+    assert np.isfinite(out).all()
+
+
 def test_eval_quality_cli_reports_metrics(smoke_ckpt):
     tmp, ckpt = smoke_ckpt
     res = run_cli(
