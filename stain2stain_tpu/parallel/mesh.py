@@ -49,6 +49,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def chunk_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a ``(steps, batch, ...)`` stack of train batches: the
+    steps axis is a host-side dispatch-chaining axis (replicated — it is
+    consumed by ``lax.scan``), the batch axis shards like ``batch_sharding``."""
+    return NamedSharding(mesh, P(None, ("data", "fsdp")))
+
+
+def shard_chunk(mesh: Mesh, chunk: Any) -> Any:
+    """``shard_batch`` for ``(steps, batch, ...)`` stacks (chained dispatch)."""
+    sharding = chunk_sharding(mesh)
+
+    def put(x):
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            return x
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(put, chunk)
+
+
 def _fsdp_spec(path: tuple, leaf: Any, fsdp_size: int, min_size: int) -> P:
     """Shard the largest dim of big weights over 'fsdp'; replicate the rest."""
     shape = getattr(leaf, "shape", ())
@@ -100,6 +121,8 @@ __all__ = [
     "create_mesh",
     "batch_sharding",
     "replicated_sharding",
+    "chunk_sharding",
     "param_shardings",
     "shard_batch",
+    "shard_chunk",
 ]

@@ -38,6 +38,7 @@ from stain2stain_tpu.parallel import (
     param_shardings,
     replicated_sharding,
     shard_batch,
+    shard_chunk,
 )
 from stain2stain_tpu.utils.pylogger import RankedLogger
 from stain2stain_tpu.utils.seed import current_seed
@@ -86,6 +87,7 @@ class Trainer:
         enable_model_summary: bool = True,
         inference_mode: bool = True,
         prng_impl: Optional[str] = None,
+        steps_per_execution: int = 1,
     ):
         self.default_root_dir = str(default_root_dir or Path.cwd() / "logs")
         self.min_epochs = min_epochs or 0
@@ -110,6 +112,15 @@ class Trainer:
         self.profiler = profiler
         self.fsdp = fsdp
         self.fsdp_min_size = fsdp_min_size
+        # Chained dispatch: fuse N train steps into one XLA dispatch via
+        # lax.scan over a (N, batch, ...) stack. The per-step host round trip
+        # through the device-dispatch path costs ~20-27 ms on the dev TPU
+        # tunnel (measured, BASELINE.md round 3) — chaining amortizes it while
+        # keeping per-step metrics exact (the scan stacks each step's metrics).
+        # Host-side control flow (mid-epoch validation, max_steps, epoch ends)
+        # still happens at exact step boundaries: the epoch loop shrinks the
+        # final chunk and falls back to single-step dispatch there.
+        self.steps_per_execution = max(1, int(steps_per_execution))
 
         self.callbacks: list[Callback] = list(callbacks or [])
         if logger is None or logger is False:
@@ -373,6 +384,21 @@ class Trainer:
         self._eval_step_fn = jax.jit(eval_step)
         self._batch_sharding = bsh
 
+        self._train_chunk_fn = None
+        if self.steps_per_execution > 1:
+            # N steps per dispatch: scan train_step over a (N, batch, ...)
+            # stack. train_step folds the step counter into the RNG, so each
+            # scan iteration draws the same keys it would under single-step
+            # dispatch — chunked and unchunked runs are step-for-step
+            # identical (asserted by tests/test_train.py).
+            def train_chunk(state: TrainState, batches: tuple, rng: jax.Array):
+                def body(st, one_batch):
+                    return train_step(st, one_batch, rng)
+
+                return jax.lax.scan(body, state, batches)
+
+            self._train_chunk_fn = jax.jit(train_chunk, donate_argnums=(0,))
+
     def _device_batch(self, task, batch: tuple):
         """Returns (sharded batch, real example count before padding)."""
         arrays = tuple(np.asarray(a) for a in task.device_fields(batch))
@@ -484,13 +510,9 @@ class Trainer:
                 val_every = max(1, int(self.val_check_interval))
         epoch_metrics: dict[str, list] = {}
         profiler_times: list[float] = []
-        for i, batch in enumerate(loader):
-            if i >= n_batches:
-                break
-            self._peek_train = batch
-            device_batch, _ = self._device_batch(task, batch)
-            t0 = time.perf_counter() if self.profiler == "simple" else 0.0
-            self.state, metrics = self._train_step_fn(self.state, device_batch, self._rng)
+
+        def bookkeep(metrics: dict, elapsed: Optional[float]) -> None:
+            """Per-step accounting, shared by single and chained dispatch."""
             if self.detect_anomaly:
                 loss_val = float(metrics["loss"])
                 if not math.isfinite(loss_val):
@@ -500,12 +522,85 @@ class Trainer:
                 epoch_metrics.setdefault(k, []).append(v)
             if self.global_step % self.log_every_n_steps == 0:
                 self.log_metrics({f"train/{k}": float(v) for k, v in metrics.items()})
-            if self.profiler == "simple":
-                jax.block_until_ready(self.state.params)
-                profiler_times.append(time.perf_counter() - t0)
+            if elapsed is not None:
+                profiler_times.append(elapsed)
             for cb in self.callbacks:
                 cb.on_train_batch_end(self, task, metrics)
-            if val_every and self.global_step % val_every == 0 and (i + 1) < n_batches:
+
+        it = iter(loader)
+        queue: list = []  # host batches pulled but not yet executed
+
+        def pull(n: int) -> int:
+            while len(queue) < n:
+                try:
+                    queue.append(next(it))
+                except StopIteration:
+                    break
+            return len(queue)
+
+        n_dev = self.mesh.devices.size
+        i = 0  # executed train batches this epoch
+        while i < n_batches:
+            # Steps until the next host-sync boundary (epoch end, mid-epoch
+            # validation, max_steps) bound the dispatch-chain length; chained
+            # dispatch therefore never changes *when* host control flow runs.
+            k = n_batches - i
+            if self._train_chunk_fn is not None:
+                k = min(k, self.steps_per_execution)
+            else:
+                k = 1
+            if val_every:
+                k = max(1, min(k, val_every - (self.global_step % val_every)))
+            if self.max_steps > 0:
+                k = max(1, min(k, self.max_steps - self.global_step))
+            avail = pull(k)
+            if avail == 0:
+                break
+            k = min(k, avail)
+            use_chunk = k == self.steps_per_execution and k > 1
+            fields = None
+            if use_chunk:
+                # A chunk must stack: all k batches same-size and mesh-divisible
+                # (ragged finals take the padded single-step path instead).
+                fields = [
+                    tuple(np.asarray(a) for a in task.device_fields(b)) for b in queue[:k]
+                ]
+                lead = fields[0][0].shape[0]
+                use_chunk = lead % n_dev == 0 and all(
+                    f[0].shape[0] == lead for f in fields
+                )
+            if use_chunk:
+                self._peek_train = queue[k - 1]
+                del queue[:k]
+                stacked = tuple(
+                    np.stack([f[j] for f in fields]) for j in range(len(fields[0]))
+                )
+                device_chunk = shard_chunk(self.mesh, stacked)
+                t0 = time.perf_counter() if self.profiler == "simple" else 0.0
+                self.state, metrics_stack = self._train_chunk_fn(
+                    self.state, device_chunk, self._rng
+                )
+                elapsed = None
+                if self.profiler == "simple":
+                    jax.block_until_ready(self.state.params)
+                    elapsed = (time.perf_counter() - t0) / k
+                metrics_host = {mk: np.asarray(v) for mk, v in metrics_stack.items()}
+                for j in range(k):
+                    bookkeep({mk: v[j] for mk, v in metrics_host.items()}, elapsed)
+                i += k
+            else:
+                batch = queue.pop(0)
+                self._peek_train = batch
+                device_batch, _ = self._device_batch(task, batch)
+                t0 = time.perf_counter() if self.profiler == "simple" else 0.0
+                self.state, metrics = self._train_step_fn(self.state, device_batch, self._rng)
+                elapsed = None
+                if self.profiler == "simple":
+                    jax.block_until_ready(self.state.params)
+                    elapsed = time.perf_counter() - t0
+                bookkeep(metrics, elapsed)
+                i += 1
+            if val_every and self.global_step % val_every == 0 and i < n_batches:
                 # mid-epoch validation (val_check_interval), checkpoint/early-
                 # stop callbacks fire on it like an epoch-end validation
                 self._run_eval(val_loader, prefix="val")

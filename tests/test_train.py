@@ -109,6 +109,46 @@ def test_accumulate_grad_batches(tmp_path):
     assert 0.0 < metrics["train/loss"] < 10.0
 
 
+def test_steps_per_execution_matches_single_step(tmp_path):
+    """Chained dispatch (lax.scan over stacked batches) is step-for-step
+    equivalent to single-step dispatch: same update count, same final params
+    (train_step folds the step counter into the RNG, so chunking changes only
+    the dispatch granularity). batch_size=2 -> 4 steps/epoch; spe=3 exercises
+    one full chunk + a single-step leftover per epoch."""
+    results = {}
+    for spe in (1, 3):
+        sub = tmp_path / f"spe{spe}"
+        sub.mkdir()
+        cfg = make_cfg(
+            sub,
+            ["trainer.max_epochs=2", "test=false", "data.batch_size=2",
+             f"+trainer.steps_per_execution={spe}"],
+        )
+        metrics, objects = train(cfg)
+        trainer = objects["trainer"]
+        params = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+        results[spe] = (trainer.global_step, metrics["train/loss"], params)
+
+    assert results[1][0] == results[3][0] == 8
+    np.testing.assert_allclose(results[1][1], results[3][1], rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(results[1][2])
+    flat3 = jax.tree_util.tree_leaves(results[3][2])
+    for a, b in zip(flat1, flat3):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_steps_per_execution_respects_max_steps(tmp_path):
+    # max_steps=5 with spe=4: one full chunk, then the 5th step single-step,
+    # then stop — never overshooting the step budget inside a chunk.
+    cfg = make_cfg(
+        tmp_path,
+        ["trainer.max_epochs=9", "test=false", "data.batch_size=2",
+         "+trainer.steps_per_execution=4", "+trainer.max_steps=5"],
+    )
+    _, objects = train(cfg)
+    assert objects["trainer"].global_step == 5
+
+
 def test_precision_bf16_mixed(tmp_path):
     cfg = make_cfg(
         tmp_path,
