@@ -229,9 +229,17 @@ class Sweeper:
         n_jobs = max(1, int(self.n_jobs))
         while attempts < self.n_trials:
             batch = min(n_jobs, self.n_trials - attempts)
-            assignments = [
-                sampler.suggest(spaces, history, self.direction) for _ in range(batch)
-            ]
+            # Constant-liar (CL-mean) batch sampling: each in-flight assignment
+            # is appended to the sampler's view of history with the historical
+            # mean as a placeholder value, so concurrent proposals spread out
+            # instead of re-suggesting the same optimum-so-far region.
+            lie = float(np.mean([v for _, v in history])) if history else 0.0
+            assignments: list[dict] = []
+            for _ in range(batch):
+                pending = [(a, lie) for a in assignments]
+                assignments.append(
+                    sampler.suggest(spaces, history + pending, self.direction)
+                )
             if batch == 1:
                 values = [run_one(attempts, assignments[0])]
             else:

@@ -172,3 +172,37 @@ def test_sweeper_n_jobs_runs_concurrently(tmp_path):
     best_val, _ = sw.optimize(objective)
     assert peak[0] == 3
     assert np.isfinite(best_val)
+
+
+def test_batch_proposals_diversify_via_constant_liar():
+    """Past the TPE startup phase, a concurrent batch must not collapse to
+    near-identical proposals: in-flight assignments enter the sampler's
+    history with a constant-liar value, pushing later proposals elsewhere."""
+    from stain2stain_tpu.sweep import Sweeper, TPESampler
+
+    seen_batches: list[list[float]] = []
+    import threading
+
+    lock = threading.Lock()
+    batch_accum: list[float] = []
+
+    def objective(a):
+        with lock:
+            batch_accum.append(a["x"])
+            if len(batch_accum) == 4:
+                seen_batches.append(sorted(batch_accum))
+                batch_accum.clear()
+        return (a["x"] - 0.3) ** 2
+
+    sw = Sweeper(
+        direction="minimize", n_trials=24, n_jobs=4,
+        sampler=TPESampler(seed=0, n_startup_trials=8),
+        params={"x": "interval(0, 1)"},
+    )
+    sw.optimize(objective)
+    # batches after startup: max pairwise spread within each batch stays
+    # non-degenerate (identical proposals would make the spread ~0)
+    post = seen_batches[2:]
+    assert post, "expected post-startup batches"
+    spreads = [max(b) - min(b) for b in post]
+    assert max(spreads) > 1e-3
