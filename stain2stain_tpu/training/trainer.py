@@ -137,6 +137,7 @@ class Trainer:
         self.mesh = None
         self.current_epoch = 0
         self.global_step = 0
+        self._chunks_dispatched = 0  # chained-dispatch programs executed
         self.should_stop = False
         self.sanity_checking = False
         self.callback_metrics: dict[str, float] = {}
@@ -580,6 +581,7 @@ class Trainer:
                 self.state, metrics_stack = self._train_chunk_fn(
                     self.state, device_chunk, self._rng
                 )
+                self._chunks_dispatched += 1
                 elapsed = None
                 if self.profiler == "simple":
                     jax.block_until_ready(self.state.params)

@@ -111,30 +111,46 @@ def test_accumulate_grad_batches(tmp_path):
 
 def test_steps_per_execution_matches_single_step(tmp_path):
     """Chained dispatch (lax.scan over stacked batches) is step-for-step
-    equivalent to single-step dispatch: same update count, same final params
-    (train_step folds the step counter into the RNG, so chunking changes only
-    the dispatch granularity). batch_size=2 -> 4 steps/epoch; spe=3 exercises
-    one full chunk + a single-step leftover per epoch."""
+    equivalent to single-step dispatch: same update count, same per-step loss
+    sequence (train_step folds the step counter into the RNG, so chunking
+    changes only the dispatch granularity — remaining differences are float32
+    accumulation noise between the scan and standalone compilations, ~1e-7).
+    batch_size=2 -> 4 steps/epoch; spe=3 exercises one full chunk + a
+    single-step leftover per epoch."""
+    from stain2stain_tpu.config import instantiate
+    from stain2stain_tpu.training import Trainer
+    from stain2stain_tpu.training.callbacks import Callback
+    from stain2stain_tpu.utils.seed import seed_everything
+
+    class RecordLosses(Callback):
+        def __init__(self):
+            self.losses = []
+
+        def on_train_batch_end(self, trainer, task, metrics):
+            self.losses.append(float(metrics["loss"]))
+
     results = {}
     for spe in (1, 3):
         sub = tmp_path / f"spe{spe}"
         sub.mkdir()
-        cfg = make_cfg(
-            sub,
-            ["trainer.max_epochs=2", "test=false", "data.batch_size=2",
-             f"+trainer.steps_per_execution={spe}"],
+        cfg = make_cfg(sub, ["test=false", "data.batch_size=2"])
+        seed_everything(int(cfg["seed"]))
+        dm = instantiate(cfg["data"])
+        task = instantiate(cfg["model"])
+        rec = RecordLosses()
+        trainer = Trainer(
+            default_root_dir=str(sub / "out"), max_epochs=2, devices=1,
+            callbacks=[rec], logger=False, steps_per_execution=spe,
         )
-        metrics, objects = train(cfg)
-        trainer = objects["trainer"]
-        params = jax.tree_util.tree_map(np.asarray, trainer.state.params)
-        results[spe] = (trainer.global_step, metrics["train/loss"], params)
+        trainer.fit(task, dm)
+        results[spe] = (trainer.global_step, rec.losses)
+        # the chunked run must actually take the chained path (one full chunk
+        # of 3 per epoch; the 4th step is a single-step leftover)
+        assert trainer._chunks_dispatched == (2 if spe == 3 else 0)
 
     assert results[1][0] == results[3][0] == 8
-    np.testing.assert_allclose(results[1][1], results[3][1], rtol=1e-5)
-    flat1 = jax.tree_util.tree_leaves(results[1][2])
-    flat3 = jax.tree_util.tree_leaves(results[3][2])
-    for a, b in zip(flat1, flat3):
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert len(results[1][1]) == len(results[3][1]) == 8
+    np.testing.assert_allclose(results[1][1], results[3][1], rtol=1e-4, atol=1e-6)
 
 
 def test_steps_per_execution_respects_max_steps(tmp_path):
@@ -143,10 +159,12 @@ def test_steps_per_execution_respects_max_steps(tmp_path):
     cfg = make_cfg(
         tmp_path,
         ["trainer.max_epochs=9", "test=false", "data.batch_size=2",
+         "trainer.devices=1",
          "+trainer.steps_per_execution=4", "+trainer.max_steps=5"],
     )
     _, objects = train(cfg)
     assert objects["trainer"].global_step == 5
+    assert objects["trainer"]._chunks_dispatched >= 1
 
 
 def test_precision_bf16_mixed(tmp_path):
