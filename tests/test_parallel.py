@@ -90,6 +90,37 @@ def test_trainer_fsdp_end_to_end(tmp_path):
     assert np.isfinite(metrics["test/loss"])
 
 
+@needs_multi_device
+def test_trainer_chained_dispatch_over_mesh(tmp_path):
+    """steps_per_execution stacks (steps, batch, ...) and shards the batch
+    axis over the full mesh (chunk_sharding): the trainer/tpu.yaml default
+    must work data-parallel, not just single-device."""
+    from stain2stain_tpu.data import PairedDataModule
+    from stain2stain_tpu.data.synthetic import generate_paired_dataset
+    from stain2stain_tpu.models import UNetModel
+    from stain2stain_tpu.ops.solvers import SolverConfig
+    from stain2stain_tpu.tasks import ConditionalFlowMatchingModule
+    from stain2stain_tpu.training import Adam, Trainer
+
+    root = generate_paired_dataset(tmp_path / "d", n_train=16, n_val=4, n_test=2, size=20)
+    dm = PairedDataModule(data_dir=str(root), batch_size=8, image_size=16, num_workers=1)
+    net = UNetModel(
+        dim=(3, 16, 16), num_channels=8, num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions="", num_heads=1,
+    )
+    task = ConditionalFlowMatchingModule(
+        net=net, optimizer=lambda: Adam(lr=1e-3), solver=SolverConfig("euler")
+    )
+    trainer = Trainer(
+        default_root_dir=str(tmp_path / "logs"), max_epochs=1,
+        steps_per_execution=2, logger=False,
+    )
+    trainer.fit(task, dm)
+    assert trainer.global_step == 2  # 16 tiles / batch 8
+    assert trainer._chunks_dispatched == 1
+    assert np.isfinite(trainer.callback_metrics.get("train/loss", np.nan))
+
+
 def test_flatten_padded_matches_per_tensor_adam():
     """flatten_padded is a pure layout change: identical updates to the
     per-tensor Adam chain, with the moment vectors padded to FLAT_ALIGN."""
