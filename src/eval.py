@@ -64,6 +64,9 @@ def evaluate(cfg: Config) -> tuple[dict, dict]:
 
 @config_main(config_path="../configs", config_name="eval.yaml")
 def main(cfg: Config) -> Optional[dict]:
+    from stain2stain_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     extras(cfg)
     metric_dict, _ = evaluate(cfg)
     return metric_dict
