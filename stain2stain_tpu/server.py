@@ -1,0 +1,169 @@
+"""HTTP inference server: stain translation as a service.
+
+The reference's deployment path stops at hard-coded infer scripts
+(/root/reference/src/infer_simple_flowmatching.py:20-34; SURVEY.md §3.4);
+the production story the north star asks for ("large-scale production
+deployment and serving") needs a long-lived process that keeps the compiled
+program resident and the TPU hot across requests.
+
+TPU-first design:
+
+- ONE fixed-shape compiled generator (``wsi.make_tiled_generator``) serves
+  every request: arbitrary-size inputs are tiled/feather-stitched on the
+  host (``wsi.translate_large_image``), so no request shape ever triggers a
+  recompile.
+- Requests execute under a lock — a TPU chip runs one program at a time, so
+  queueing in-process beats queueing in XLA. Multi-chip serving = one server
+  process per chip behind any external load balancer.
+- stdlib only (``http.server``): no framework dependency to gate deployment.
+
+Endpoints:
+    GET  /healthz           -> 200 "ok" (readiness: the generator is compiled)
+    GET  /info              -> JSON {model, tile, overlap, num_steps, ...}
+    POST /translate         -> body: PNG/JPEG bytes (or .npy with
+                               Content-Type: application/x-npy); response:
+                               image/png translated at full input size.
+
+Programmatic use (also how the tests drive it, no sockets required):
+    server = TranslationServer(task, variables, num_steps=2, tile=256)
+    out = server.translate(img_uint8)   # (H, W, 3) float32 in [0, 1]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from stain2stain_tpu.utils.pylogger import RankedLogger
+from stain2stain_tpu.wsi import make_tiled_generator, translate_large_image
+
+log = RankedLogger(__name__, rank_zero_only=True)
+
+__all__ = ["TranslationServer", "serve_forever"]
+
+
+class TranslationServer:
+    """Holds the compiled generator and translates arbitrary-size images."""
+
+    def __init__(
+        self,
+        task,
+        variables,
+        num_steps: int = 2,
+        tile: int = 256,
+        overlap: int = 32,
+        batch: int = 16,
+        **gen_kwargs,
+    ):
+        self.task = task
+        self.num_steps = num_steps
+        self.tile = tile
+        self.overlap = overlap
+        self.batch = batch
+        self._gen = make_tiled_generator(task, variables, num_steps=num_steps, **gen_kwargs)
+        self._lock = threading.Lock()  # one program in flight per chip
+        self.requests_served = 0
+        # Compile + warm on a zero batch so /healthz means "ready to serve",
+        # not "will stall the first request for a cold compile".
+        self._gen(np.zeros((batch, tile, tile, 3), np.float32))
+
+    def translate(self, img_uint8: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 -> (H, W, 3) float32 in [0, 1], any size."""
+        if img_uint8.ndim != 3 or img_uint8.shape[-1] != 3:
+            raise ValueError(f"expected (H, W, 3) RGB image, got {img_uint8.shape}")
+        normalized = img_uint8.astype(np.float32) / 127.5 - 1.0
+        with self._lock:
+            out = translate_large_image(
+                self._gen, normalized, tile=self.tile,
+                overlap=self.overlap, batch_size=self.batch,
+            )
+            self.requests_served += 1
+        return np.clip((out + 1.0) / 2.0, 0.0, 1.0)
+
+    @property
+    def info(self) -> dict:
+        return {
+            "model": type(self.task).__name__,
+            "num_steps": self.num_steps,
+            "tile": self.tile,
+            "overlap": self.overlap,
+            "batch": self.batch,
+            "requests_served": self.requests_served,
+        }
+
+
+def _decode_request(body: bytes, content_type: str) -> np.ndarray:
+    if "npy" in content_type:
+        arr = np.load(io.BytesIO(body))
+        return np.asarray(arr, np.uint8)
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+
+
+def _encode_png(img01: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((img01 * 255).astype(np.uint8)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _make_handler(server: TranslationServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through our logger
+            log.info(f"{self.address_string()} {fmt % args}")
+
+        def _reply(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, b"ok", "text/plain")
+            elif self.path == "/info":
+                self._reply(200, json.dumps(server.info).encode(), "application/json")
+            else:
+                self._reply(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/translate":
+                self._reply(404, b"not found", "text/plain")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                img = _decode_request(body, self.headers.get("Content-Type", ""))
+                out01 = server.translate(img)
+                self._reply(200, _encode_png(out01), "image/png")
+            except Exception as exc:  # a bad request must not kill the server
+                log.warning(f"/translate failed: {exc}")
+                self._reply(400, str(exc).encode(), "text/plain")
+
+    return Handler
+
+
+def serve_forever(
+    server: TranslationServer,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    ready_event: Optional[threading.Event] = None,
+) -> None:
+    """Run the HTTP loop (blocking). ``ready_event`` fires once bound."""
+    httpd = ThreadingHTTPServer((host, port), _make_handler(server))
+    log.info(f"Serving {server.info['model']} on {host}:{httpd.server_address[1]}")
+    if ready_event is not None:
+        server.bound_port = httpd.server_address[1]
+        ready_event.set()
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()
