@@ -153,6 +153,21 @@ def test_steps_per_execution_matches_single_step(tmp_path):
     np.testing.assert_allclose(results[1][1], results[3][1], rtol=1e-4, atol=1e-6)
 
 
+def test_steps_per_execution_composes_with_grad_accum(tmp_path):
+    # chunk of 2 dispatches, each scanning 2 microbatches: 8 tiles / batch 4
+    # = 2 optimizer updates, all inside one XLA program
+    cfg = make_cfg(
+        tmp_path,
+        ["trainer.max_epochs=1", "test=false", "data.batch_size=4",
+         "trainer.devices=1", "+trainer.accumulate_grad_batches=2",
+         "+trainer.steps_per_execution=2"],
+    )
+    metrics, objects = train(cfg)
+    assert objects["trainer"].global_step == 2
+    assert objects["trainer"]._chunks_dispatched == 1
+    assert 0.0 < metrics["train/loss"] < 10.0
+
+
 def test_steps_per_execution_respects_max_steps(tmp_path):
     # max_steps=5 with spe=4: one full chunk, then the 5th step single-step,
     # then stop — never overshooting the step budget inside a chunk.
