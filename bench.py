@@ -330,12 +330,12 @@ def main() -> None:
     if gen512 and gen512.get("tiles"):
         extra["infer_2step_tiles_per_sec_512"] = round(gen512["tiles"], 2)
     time.sleep(60)
-    train = _sub("train256")
+    train = _sub("train256", timeout_s=2400)
     if not train:
         raise RuntimeError("256px train benchmark failed")
     extra.update({"train_batch_256": train["batch"], "train_mfu_256": round(train["mfu"], 3)})
     time.sleep(60)
-    chained = _sub("train256_chain")
+    chained = _sub("train256_chain", timeout_s=2400)
     if chained and chained.get("tiles"):
         extra["train_chained_tiles_per_sec_256"] = round(chained["tiles"], 2)
     time.sleep(60)
@@ -343,7 +343,9 @@ def main() -> None:
     # attention fits the 4x-activation step on one chip (grad-accum covers
     # larger effective batches). Degrades to a skipped row if the remote
     # compile helper crashes (infrastructure, not framework).
-    t512 = _sub("train512")
+    # Cold-cache 512px compiles through the dev tunnel can exceed 20 min
+    # (memory: model-structure changes invalidate every cached program).
+    t512 = _sub("train512", timeout_s=3600)
     if t512:
         extra["train_tiles_per_sec_512"] = round(t512["tiles"], 2)
         extra["train_batch_512"] = t512["batch"]
