@@ -35,6 +35,7 @@ log = RankedLogger(__name__, rank_zero_only=True)
 def main(cfg: Config):
     task = instantiate(cfg["model"])
     variables = load_state(cfg["ckpt_path"]).variables
+    target_class = cfg.get("target_class")
     server = TranslationServer(
         task,
         variables,
@@ -42,6 +43,7 @@ def main(cfg: Config):
         tile=int(cfg.get("tile", 256)),
         overlap=int(cfg.get("overlap", 32)),
         batch=int(cfg.get("wsi_batch", 16)),
+        target_class=None if target_class is None else int(target_class),
     )
     log.info(f"Generator compiled: {server.info}")
     serve_forever(server, host=str(cfg.get("host", "0.0.0.0")), port=int(cfg.get("port", 8000)))

@@ -40,7 +40,11 @@ from typing import Optional
 import numpy as np
 
 from stain2stain_tpu.utils.pylogger import RankedLogger
-from stain2stain_tpu.wsi import make_tiled_generator, translate_large_image
+from stain2stain_tpu.wsi import (
+    make_conditioned_tiled_generator,
+    make_tiled_generator,
+    translate_large_image,
+)
 
 log = RankedLogger(__name__, rank_zero_only=True)
 
@@ -58,6 +62,7 @@ class TranslationServer:
         tile: int = 256,
         overlap: int = 32,
         batch: int = 16,
+        target_class: Optional[int] = None,
         **gen_kwargs,
     ):
         self.task = task
@@ -65,21 +70,42 @@ class TranslationServer:
         self.tile = tile
         self.overlap = overlap
         self.batch = batch
-        self._gen = make_tiled_generator(task, variables, num_steps=num_steps, **gen_kwargs)
+        # target_class != None selects the class-conditioned generator (any2any
+        # models): the class is a TRACED scalar, so every target stain —
+        # including per-request overrides — shares one compiled program.
+        self.default_class = target_class
+        if target_class is None:
+            self._gen = make_tiled_generator(task, variables, num_steps=num_steps, **gen_kwargs)
+        else:
+            self._cond_gen = make_conditioned_tiled_generator(
+                task, variables, num_steps=num_steps, **gen_kwargs
+            )
         self._lock = threading.Lock()  # one program in flight per chip
         self.requests_served = 0
         # Compile + warm on a zero batch so /healthz means "ready to serve",
         # not "will stall the first request for a cold compile".
-        self._gen(np.zeros((batch, tile, tile, 3), np.float32))
+        warm = np.zeros((batch, tile, tile, 3), np.float32)
+        if target_class is None:
+            self._gen(warm)
+        else:
+            self._cond_gen(warm, target_class)
 
-    def translate(self, img_uint8: np.ndarray) -> np.ndarray:
+    def translate(
+        self, img_uint8: np.ndarray, target_class: Optional[int] = None
+    ) -> np.ndarray:
         """(H, W, 3) uint8 -> (H, W, 3) float32 in [0, 1], any size."""
         if img_uint8.ndim != 3 or img_uint8.shape[-1] != 3:
             raise ValueError(f"expected (H, W, 3) RGB image, got {img_uint8.shape}")
+        if target_class is not None and self.default_class is None:
+            raise ValueError("this model is not class-conditioned; omit target_class")
+        cls = self.default_class if target_class is None else int(target_class)
+        gen = self._gen if self.default_class is None else (
+            lambda b: self._cond_gen(b, cls)
+        )
         normalized = img_uint8.astype(np.float32) / 127.5 - 1.0
         with self._lock:
             out = translate_large_image(
-                self._gen, normalized, tile=self.tile,
+                gen, normalized, tile=self.tile,
                 overlap=self.overlap, batch_size=self.batch,
             )
             self.requests_served += 1
@@ -93,6 +119,7 @@ class TranslationServer:
             "tile": self.tile,
             "overlap": self.overlap,
             "batch": self.batch,
+            "target_class": self.default_class,
             "requests_served": self.requests_served,
         }
 
@@ -135,14 +162,20 @@ def _make_handler(server: TranslationServer):
                 self._reply(404, b"not found", "text/plain")
 
         def do_POST(self):
-            if self.path != "/translate":
+            from urllib.parse import parse_qs, urlparse
+
+            parsed = urlparse(self.path)
+            if parsed.path != "/translate":
                 self._reply(404, b"not found", "text/plain")
                 return
             try:
+                query = parse_qs(parsed.query)
+                target_class = query.get("target_class")
+                target_class = int(target_class[0]) if target_class else None
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 img = _decode_request(body, self.headers.get("Content-Type", ""))
-                out01 = server.translate(img)
+                out01 = server.translate(img, target_class=target_class)
                 self._reply(200, _encode_png(out01), "image/png")
             except Exception as exc:  # a bad request must not kill the server
                 log.warning(f"/translate failed: {exc}")

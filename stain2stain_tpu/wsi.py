@@ -30,7 +30,13 @@ from typing import Callable, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["tile_starts", "feather_weights", "translate_large_image", "make_tiled_generator"]
+__all__ = [
+    "tile_starts",
+    "feather_weights",
+    "translate_large_image",
+    "make_tiled_generator",
+    "make_conditioned_tiled_generator",
+]
 
 
 def tile_starts(length: int, tile: int, stride: int) -> list[int]:
@@ -118,6 +124,31 @@ def make_tiled_generator(
     @jax.jit
     def gen(batch):
         result = task.generate(variables, batch, *extra_args, num_steps=num_steps, **gen_kwargs)
+        return result[0] if isinstance(result, tuple) else result
+
+    return gen
+
+
+def make_conditioned_tiled_generator(
+    task,
+    variables,
+    num_steps: int,
+    **gen_kwargs,
+) -> Callable[[np.ndarray, int], np.ndarray]:
+    """Class-conditioned variant: ``gen(batch, target_class)``.
+
+    ``target_class`` is a *traced* scalar, so every target stain shares ONE
+    compiled program (the any2any serving path — switching the target class
+    per request costs nothing)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(batch, target_class):
+        result = task.generate(
+            variables, batch, num_steps=num_steps,
+            target_class=jnp.asarray(target_class, jnp.int32), **gen_kwargs,
+        )
         return result[0] if isinstance(result, tuple) else result
 
     return gen

@@ -33,6 +33,46 @@ def server():
     return TranslationServer(task, variables, num_steps=2, tile=16, overlap=4, batch=2)
 
 
+def test_class_conditioned_server_one_program_all_classes():
+    """any2any serving: target_class is a traced scalar, so switching the
+    target stain per request reuses one compiled program and changes the
+    output."""
+    from stain2stain_tpu.models import UNetModel
+    from stain2stain_tpu.ops.solvers import SolverConfig
+    from stain2stain_tpu.tasks import ClassConditionalFlowMatchingModule
+    from stain2stain_tpu.training.optim import Adam
+
+    net = UNetModel(
+        dim=(3, 16, 16), num_channels=8, num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions="", num_heads=1, class_cond=True, num_classes=3,
+    )
+    task = ClassConditionalFlowMatchingModule(
+        net=net, num_classes=3, optimizer=lambda: Adam(lr=1e-3),
+        solver=SolverConfig("euler"),
+    )
+    variables = task.init_variables(
+        jax.random.key(0),
+        (jnp.zeros((2, 16, 16, 3), jnp.float32), jnp.zeros((2, 16, 16, 3), jnp.float32),
+         jnp.zeros((2,), jnp.int32)),
+    )
+    # ADM zero-inits the output conv, so an untrained net has v == 0 for every
+    # class; jitter the params so the velocity field is class-dependent.
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.key(7), len(leaves))
+    leaves = [
+        l + 0.05 * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)
+    ]
+    variables = {**variables, "params": jax.tree_util.tree_unflatten(treedef, leaves)}
+    srv = TranslationServer(
+        task, variables, num_steps=2, tile=16, overlap=4, batch=2, target_class=0
+    )
+    img = np.random.default_rng(1).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    out0 = srv.translate(img)                  # default class 0
+    out2 = srv.translate(img, target_class=2)  # per-request override
+    assert out0.shape == out2.shape == (24, 24, 3)
+    assert not np.allclose(out0, out2), "different target stains must differ"
+
+
 def test_translate_arbitrary_size(server):
     img = np.random.default_rng(0).integers(0, 256, (40, 56, 3), dtype=np.uint8)
     out = server.translate(img)
