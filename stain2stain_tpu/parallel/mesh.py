@@ -57,17 +57,8 @@ def chunk_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_chunk(mesh: Mesh, chunk: Any) -> Any:
-    """``shard_batch`` for ``(steps, batch, ...)`` stacks (chained dispatch)."""
-    sharding = chunk_sharding(mesh)
-
-    def put(x):
-        if not isinstance(x, (np.ndarray, jax.Array)):
-            return x
-        if jax.process_count() == 1:
-            return jax.device_put(x, sharding)
-        return jax.make_array_from_process_local_data(sharding, x)
-
-    return jax.tree_util.tree_map(put, chunk)
+    """``_shard_with`` for ``(steps, batch, ...)`` stacks (chained dispatch)."""
+    return _shard_with(chunk_sharding(mesh), chunk)
 
 
 def _fsdp_spec(path: tuple, leaf: Any, fsdp_size: int, min_size: int) -> P:
@@ -97,15 +88,13 @@ def param_shardings(mesh: Mesh, params: Any, min_size: int = 1024) -> Any:
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place host-local numpy batch shards onto the mesh as global arrays.
+def _shard_with(sharding: NamedSharding, tree: Any) -> Any:
+    """Place host-local numpy arrays onto the mesh as global arrays.
 
-    Single-process: a plain device_put with the batch sharding. Multi-process:
-    assembles the global array from each host's local shard
-    (``make_array_from_process_local_data``), the per-host input pipeline
-    contract of SURVEY.md §2.5.
+    Single-process: a plain device_put. Multi-process: assembles the global
+    array from each host's local shard (``make_array_from_process_local_data``),
+    the per-host input pipeline contract of SURVEY.md §2.5.
     """
-    sharding = batch_sharding(mesh)
 
     def put(x):
         if not isinstance(x, (np.ndarray, jax.Array)):
@@ -114,7 +103,12 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
             return jax.device_put(x, sharding)
         return jax.make_array_from_process_local_data(sharding, x)
 
-    return jax.tree_util.tree_map(put, batch)
+    return jax.tree_util.tree_map(put, tree)
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """``_shard_with`` under the (batch, ...) sharding."""
+    return _shard_with(batch_sharding(mesh), batch)
 
 
 __all__ = [

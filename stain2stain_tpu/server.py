@@ -70,25 +70,36 @@ class TranslationServer:
         self.tile = tile
         self.overlap = overlap
         self.batch = batch
-        # target_class != None selects the class-conditioned generator (any2any
-        # models): the class is a TRACED scalar, so every target stain —
-        # including per-request overrides — shares one compiled program.
-        self.default_class = target_class
-        if target_class is None:
-            self._gen = make_tiled_generator(task, variables, num_steps=num_steps, **gen_kwargs)
-        else:
+        # DoS guards for the long-lived process (tunable attributes): cap the
+        # request body and the decoded pixel count BEFORE allocating the
+        # float32 working set (4x input + output/weight accumulators).
+        self.max_body_bytes = 64 << 20
+        self.max_pixels = 1 << 26  # ~67 MP (an 8k x 8k region)
+        # Conditioning is a property of the MODEL (net.class_cond), not of
+        # whether a default class was configured: an any2any model served
+        # with target_class unset must still honor per-request classes
+        # instead of silently translating everything to class 0.
+        self.conditioned = bool(getattr(getattr(task, "net", None), "class_cond", False))
+        if target_class is not None and not self.conditioned:
+            raise ValueError("target_class given but the model is not class-conditioned")
+        self.default_class = (0 if target_class is None else int(target_class)) if self.conditioned else None
+        if self.conditioned:
+            # the class is a TRACED scalar, so every target stain — including
+            # per-request overrides — shares one compiled program
             self._cond_gen = make_conditioned_tiled_generator(
                 task, variables, num_steps=num_steps, **gen_kwargs
             )
+        else:
+            self._gen = make_tiled_generator(task, variables, num_steps=num_steps, **gen_kwargs)
         self._lock = threading.Lock()  # one program in flight per chip
         self.requests_served = 0
         # Compile + warm on a zero batch so /healthz means "ready to serve",
         # not "will stall the first request for a cold compile".
         warm = np.zeros((batch, tile, tile, 3), np.float32)
-        if target_class is None:
-            self._gen(warm)
+        if self.conditioned:
+            self._cond_gen(warm, self.default_class)
         else:
-            self._cond_gen(warm, target_class)
+            self._gen(warm)
 
     def translate(
         self, img_uint8: np.ndarray, target_class: Optional[int] = None
@@ -96,12 +107,18 @@ class TranslationServer:
         """(H, W, 3) uint8 -> (H, W, 3) float32 in [0, 1], any size."""
         if img_uint8.ndim != 3 or img_uint8.shape[-1] != 3:
             raise ValueError(f"expected (H, W, 3) RGB image, got {img_uint8.shape}")
-        if target_class is not None and self.default_class is None:
+        if img_uint8.shape[0] * img_uint8.shape[1] > self.max_pixels:
+            raise ValueError(
+                f"image {img_uint8.shape[0]}x{img_uint8.shape[1]} exceeds the "
+                f"{self.max_pixels}-pixel serving cap"
+            )
+        if target_class is not None and not self.conditioned:
             raise ValueError("this model is not class-conditioned; omit target_class")
-        cls = self.default_class if target_class is None else int(target_class)
-        gen = self._gen if self.default_class is None else (
-            lambda b: self._cond_gen(b, cls)
-        )
+        if self.conditioned:
+            cls = self.default_class if target_class is None else int(target_class)
+            gen = lambda b: self._cond_gen(b, cls)  # noqa: E731
+        else:
+            gen = self._gen
         normalized = img_uint8.astype(np.float32) / 127.5 - 1.0
         with self._lock:
             out = translate_large_image(
@@ -119,18 +136,29 @@ class TranslationServer:
             "tile": self.tile,
             "overlap": self.overlap,
             "batch": self.batch,
+            "class_conditioned": self.conditioned,
             "target_class": self.default_class,
             "requests_served": self.requests_served,
         }
 
 
 def _decode_request(body: bytes, content_type: str) -> np.ndarray:
-    if "npy" in content_type:
-        arr = np.load(io.BytesIO(body))
-        return np.asarray(arr, np.uint8)
-    from PIL import Image
+    """Decode the request body; every decode failure is a CLIENT error
+    (ValueError -> HTTP 400), never a 5xx."""
+    try:
+        if "npy" in content_type:
+            arr = np.load(io.BytesIO(body))
+            if arr.dtype != np.uint8:
+                # a silent cast would truncate float images to 0/1 garbage
+                raise ValueError(f"npy input must be uint8, got {arr.dtype}")
+            return arr
+        from PIL import Image
 
-    return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+        return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"could not decode request body: {exc}") from exc
 
 
 def _encode_png(img01: np.ndarray) -> bytes:
@@ -169,17 +197,23 @@ def _make_handler(server: TranslationServer):
                 self._reply(404, b"not found", "text/plain")
                 return
             try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length > server.max_body_bytes:
+                    self._reply(413, b"request body too large", "text/plain")
+                    return
                 query = parse_qs(parsed.query)
                 target_class = query.get("target_class")
                 target_class = int(target_class[0]) if target_class else None
-                length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 img = _decode_request(body, self.headers.get("Content-Type", ""))
                 out01 = server.translate(img, target_class=target_class)
                 self._reply(200, _encode_png(out01), "image/png")
-            except Exception as exc:  # a bad request must not kill the server
-                log.warning(f"/translate failed: {exc}")
+            except ValueError as exc:  # the client's fault: reject, keep serving
+                log.warning(f"/translate rejected: {exc}")
                 self._reply(400, str(exc).encode(), "text/plain")
+            except Exception as exc:  # server-side fault: 5xx so retries/LB react
+                log.warning(f"/translate failed: {type(exc).__name__}: {exc}")
+                self._reply(500, b"internal error (see server log)", "text/plain")
 
     return Handler
 
@@ -193,8 +227,8 @@ def serve_forever(
     """Run the HTTP loop (blocking). ``ready_event`` fires once bound."""
     httpd = ThreadingHTTPServer((host, port), _make_handler(server))
     log.info(f"Serving {server.info['model']} on {host}:{httpd.server_address[1]}")
+    server.bound_port = httpd.server_address[1]
     if ready_event is not None:
-        server.bound_port = httpd.server_address[1]
         ready_event.set()
     try:
         httpd.serve_forever()

@@ -233,7 +233,10 @@ class Sweeper:
             # is appended to the sampler's view of history with the historical
             # mean as a placeholder value, so concurrent proposals spread out
             # instead of re-suggesting the same optimum-so-far region.
-            lie = float(np.mean([v for _, v in history])) if history else 0.0
+            # Non-finite trial values (a diverged objective returning nan)
+            # would poison the mean and every subsequent suggestion's sort.
+            finite = [v for _, v in history if np.isfinite(v)]
+            lie = float(np.mean(finite)) if finite else 0.0
             assignments: list[dict] = []
             for _ in range(batch):
                 pending = [(a, lie) for a in assignments]

@@ -138,6 +138,7 @@ class Trainer:
         self.current_epoch = 0
         self.global_step = 0
         self._chunks_dispatched = 0  # chained-dispatch programs executed
+        self._warned_unchainable = False
         self.should_stop = False
         self.sanity_checking = False
         self.callback_metrics: dict[str, float] = {}
@@ -386,7 +387,16 @@ class Trainer:
         self._batch_sharding = bsh
 
         self._train_chunk_fn = None
-        if self.steps_per_execution > 1:
+        if self.steps_per_execution > 1 and self.detect_anomaly:
+            # Anomaly detection promises to halt one step past the first
+            # non-finite loss; a donated 5-step chunk would advance (and
+            # corrupt) the surviving state by up to 4 more optimizer updates
+            # before the host sees the NaN. Debugging beats the +3%.
+            log.warning(
+                "detect_anomaly=True disables chained dispatch "
+                f"(steps_per_execution={self.steps_per_execution} -> 1)."
+            )
+        elif self.steps_per_execution > 1:
             # N steps per dispatch: scan train_step over a (N, batch, ...)
             # stack. train_step folds the step counter into the RNG, so each
             # scan iteration draws the same keys it would under single-step
@@ -563,13 +573,24 @@ class Trainer:
             if use_chunk:
                 # A chunk must stack: all k batches same-size and mesh-divisible
                 # (ragged finals take the padded single-step path instead).
-                fields = [
-                    tuple(np.asarray(a) for a in task.device_fields(b)) for b in queue[:k]
-                ]
-                lead = fields[0][0].shape[0]
-                use_chunk = lead % n_dev == 0 and all(
-                    f[0].shape[0] == lead for f in fields
-                )
+                # Shape probe first — only convert fields for eligible chunks.
+                leads = [task.device_fields(b)[0].shape[0] for b in queue[:k]]
+                if leads[0] % n_dev:
+                    use_chunk = False
+                    if not self._warned_unchainable:
+                        self._warned_unchainable = True
+                        log.warning(
+                            f"steps_per_execution={self.steps_per_execution} cannot "
+                            f"engage: batch size {leads[0]} is not divisible by "
+                            f"{n_dev} devices; dispatching single steps."
+                        )
+                elif any(lead != leads[0] for lead in leads):
+                    use_chunk = False
+                else:
+                    fields = [
+                        tuple(np.asarray(a) for a in task.device_fields(b))
+                        for b in queue[:k]
+                    ]
             if use_chunk:
                 self._peek_train = queue[k - 1]
                 del queue[:k]

@@ -63,9 +63,9 @@ def test_class_conditioned_server_one_program_all_classes():
         l + 0.05 * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)
     ]
     variables = {**variables, "params": jax.tree_util.tree_unflatten(treedef, leaves)}
-    srv = TranslationServer(
-        task, variables, num_steps=2, tile=16, overlap=4, batch=2, target_class=0
-    )
+    # conditioning is auto-detected from net.class_cond — no default needed
+    srv = TranslationServer(task, variables, num_steps=2, tile=16, overlap=4, batch=2)
+    assert srv.conditioned and srv.default_class == 0
     img = np.random.default_rng(1).integers(0, 256, (24, 24, 3), dtype=np.uint8)
     out0 = srv.translate(img)                  # default class 0
     out2 = srv.translate(img, target_class=2)  # per-request override
@@ -85,6 +85,29 @@ def test_translate_arbitrary_size(server):
 def test_translate_rejects_bad_shape(server):
     with pytest.raises(ValueError):
         server.translate(np.zeros((40, 56), np.uint8))
+
+
+def test_unconditioned_server_rejects_target_class(server):
+    assert not server.conditioned
+    with pytest.raises(ValueError, match="not class-conditioned"):
+        server.translate(
+            np.zeros((20, 20, 3), np.uint8), target_class=1
+        )
+    with pytest.raises(ValueError, match="not class-conditioned"):
+        TranslationServer(
+            server.task, None, num_steps=2, tile=16, overlap=4, batch=2,
+            target_class=1,
+        )
+
+
+def test_translate_rejects_oversized_image(server):
+    server_cap = server.max_pixels
+    try:
+        server.max_pixels = 16 * 16
+        with pytest.raises(ValueError, match="pixel serving cap"):
+            server.translate(np.zeros((32, 32, 3), np.uint8))
+    finally:
+        server.max_pixels = server_cap
 
 
 def test_concurrent_requests_serialize_cleanly(server):
@@ -148,5 +171,36 @@ def test_http_round_trip(server):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+    # non-uint8 npy -> 400 (a silent cast would produce 0/1 garbage)
+    fbuf = io.BytesIO()
+    np.save(fbuf, np.zeros((8, 8, 3), np.float32))
+    badnpy = urllib.request.Request(
+        f"{base}/translate", data=fbuf.getvalue(),
+        headers={"Content-Type": "application/x-npy"}, method="POST",
+    )
+    try:
+        urllib.request.urlopen(badnpy, timeout=30)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400 and b"uint8" in e.read()
+    assert raised
+
+    # oversized body -> 413 before any decode work
+    server.max_body_bytes = 64
+    try:
+        big = urllib.request.Request(
+            f"{base}/translate", data=b"x" * 256,
+            headers={"Content-Type": "image/png"}, method="POST",
+        )
+        try:
+            urllib.request.urlopen(big, timeout=30)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 413
+        assert raised
+    finally:
+        server.max_body_bytes = 64 << 20
+
     with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
         assert r.status == 200
