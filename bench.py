@@ -339,10 +339,10 @@ def main() -> None:
     if chained and chained.get("tiles"):
         extra["train_chained_tiles_per_sec_256"] = round(chained["tiles"], 2)
     time.sleep(60)
-    # The reference's default 512px operating point: level-remat + einsum
-    # attention fits the 4x-activation step on one chip (grad-accum covers
-    # larger effective batches). Degrades to a skipped row if the remote
-    # compile helper crashes (infrastructure, not framework).
+    # The reference's default 512px operating point: level-remat + Pallas
+    # attention (in-program since round 3) fits the 4x-activation step on one
+    # chip (grad-accum covers larger effective batches). Degrades to a skipped
+    # row if the remote compile helper crashes (infrastructure, not framework).
     # Cold-cache 512px compiles through the dev tunnel can exceed 20 min
     # (memory: model-structure changes invalidate every cached program).
     t512 = _sub("train512", timeout_s=3600)

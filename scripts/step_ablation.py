@@ -101,7 +101,6 @@ def run(mode: str) -> None:
 
         # attention_resolutions="" — build() hardcodes "16,8"; patch the
         # module's resolver so the mid block skips attention too.
-        orig = unet_mod.UNetModel._attention_ds
         unet_mod.UNetModel._attention_ds = lambda self: ()
     result = bench.measure_train(256, (32,), **cfg)
     print(f"ABLATION {mode}: {result}", flush=True)

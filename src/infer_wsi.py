@@ -27,6 +27,7 @@ import numpy as np
 
 from stain2stain_tpu.config import Config, config_main, instantiate
 from stain2stain_tpu.inference import load_state
+from stain2stain_tpu.ops.image import denormalize_np, normalize_uint8_np
 from stain2stain_tpu.utils.pylogger import RankedLogger
 from stain2stain_tpu.wsi import make_tiled_generator, translate_large_image
 
@@ -68,9 +69,9 @@ def main(cfg: Config):
     variables = load_state(cfg["ckpt_path"]).variables
     gen = make_tiled_generator(task, variables, num_steps=num_steps)
 
-    normalized = src.astype(np.float32) / 127.5 - 1.0  # ops.image.normalize_uint8 domain
+    normalized = normalize_uint8_np(src)
     out = translate_large_image(gen, normalized, tile=tile, overlap=overlap, batch_size=batch)
-    out01 = (out + 1.0) / 2.0
+    out01 = denormalize_np(out)
 
     out_path = cfg.get("output") or str(Path(cfg["input"]).with_suffix(".translated.png"))
     _write_image(out_path, out01)

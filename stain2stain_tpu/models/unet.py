@@ -522,7 +522,8 @@ class UNetModel(nn.Module):
     conv_resample: bool = True
     use_checkpoint: Any = False  # False | True/"block" | "level"
     fused_attention: Optional[bool] = None  # None = Pallas kernel on TPU
-    fused_conv: Optional[bool] = None  # None = Pallas GN+SiLU+conv on TPU/bf16
+    fused_conv: Optional[bool] = None  # OPT-IN: None/False = XLA convs (the
+    # measured winner, scripts/fused_conv_bench.py); True = Pallas GN+SiLU+conv
     dtype: Any = jnp.float32
 
     def _attention_ds(self) -> tuple:

@@ -29,6 +29,21 @@ def denormalize(img: jax.Array) -> jax.Array:
     return jnp.clip((img + 1.0) * 0.5, 0.0, 1.0)
 
 
+def normalize_uint8_np(img) -> "np.ndarray":
+    """Host-side (numpy) twin of :func:`normalize_uint8` — for whole-slide /
+    serving paths that must not device-put arbitrarily large images."""
+    import numpy as np
+
+    return np.asarray(img, np.float32) / 127.5 - 1.0
+
+
+def denormalize_np(img) -> "np.ndarray":
+    """Host-side (numpy) twin of :func:`denormalize`."""
+    import numpy as np
+
+    return np.clip((np.asarray(img, np.float32) + 1.0) * 0.5, 0.0, 1.0)
+
+
 def _crop_one(img: jax.Array, top: jax.Array, left: jax.Array, size: int) -> jax.Array:
     return jax.lax.dynamic_slice(
         img, (top, left, jnp.zeros_like(top)), (size, size, img.shape[-1])

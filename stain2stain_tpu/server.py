@@ -39,6 +39,7 @@ from typing import Optional
 
 import numpy as np
 
+from stain2stain_tpu.ops.image import denormalize_np, normalize_uint8_np
 from stain2stain_tpu.utils.pylogger import RankedLogger
 from stain2stain_tpu.wsi import (
     make_conditioned_tiled_generator,
@@ -119,14 +120,14 @@ class TranslationServer:
             gen = lambda b: self._cond_gen(b, cls)  # noqa: E731
         else:
             gen = self._gen
-        normalized = img_uint8.astype(np.float32) / 127.5 - 1.0
+        normalized = normalize_uint8_np(img_uint8)
         with self._lock:
             out = translate_large_image(
                 gen, normalized, tile=self.tile,
                 overlap=self.overlap, batch_size=self.batch,
             )
             self.requests_served += 1
-        return np.clip((out + 1.0) / 2.0, 0.0, 1.0)
+        return denormalize_np(out)
 
     @property
     def info(self) -> dict:

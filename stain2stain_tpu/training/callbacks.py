@@ -124,8 +124,11 @@ class ModelCheckpoint(Callback):
         metrics = trainer.callback_metrics
         base = self._dir(trainer)
 
-        if not self.save_on_train_epoch_end:
-            self._save_last(trainer)
+        # Always refresh 'last' after validation: the train-epoch-end write
+        # (crash safety under check_val_every_n_epoch=N) predates this
+        # epoch's validation, so a resume from it would replay the next epoch
+        # with the plateau-scheduler/top-k state one validation behind.
+        self._save_last(trainer)
 
         if self.monitor is None or self.monitor not in metrics:
             return

@@ -118,15 +118,20 @@ def make_tiled_generator(
 
     ``extra_args`` are traced positional conditions passed after the source
     batch (e.g. a class-code array for any2any tasks); multitask tuples
-    collapse to the translated image."""
+    collapse to the translated image.
+
+    ``variables`` is a jit *argument*, not a closure capture: closed-over
+    params become embedded program constants, which duplicates param HBM and
+    blows remote-compile request-size limits at flagship scale (the measured
+    HTTP-413 failure mode recorded in scripts/fused_conv_bench.py)."""
     import jax
 
     @jax.jit
-    def gen(batch):
-        result = task.generate(variables, batch, *extra_args, num_steps=num_steps, **gen_kwargs)
+    def gen(v, batch):
+        result = task.generate(v, batch, *extra_args, num_steps=num_steps, **gen_kwargs)
         return result[0] if isinstance(result, tuple) else result
 
-    return gen
+    return lambda batch: gen(variables, batch)
 
 
 def make_conditioned_tiled_generator(
@@ -139,16 +144,17 @@ def make_conditioned_tiled_generator(
 
     ``target_class`` is a *traced* scalar, so every target stain shares ONE
     compiled program (the any2any serving path — switching the target class
-    per request costs nothing)."""
+    per request costs nothing). ``variables`` is a jit argument, not a
+    closure capture (see make_tiled_generator)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def gen(batch, target_class):
+    def gen(v, batch, target_class):
         result = task.generate(
-            variables, batch, num_steps=num_steps,
+            v, batch, num_steps=num_steps,
             target_class=jnp.asarray(target_class, jnp.int32), **gen_kwargs,
         )
         return result[0] if isinstance(result, tuple) else result
 
-    return gen
+    return lambda batch, target_class: gen(variables, batch, target_class)
