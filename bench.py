@@ -73,6 +73,29 @@ def _is_oom(exc: Exception) -> bool:
     return "resource_exhausted" in msg or "out of memory" in msg or "exceeded hbm" in msg
 
 
+def _make_train_step(task, tx):
+    """The measured train-step recipe, shared by the per-step and chained
+    benchmarks so both rows always time the identical computation."""
+
+    def train_step(state, src, tgt, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        prep_rng, loss_rng = jax.random.split(step_rng)
+        batch = task.prepare_batch((src, tgt), prep_rng, train=True)
+
+        def loss_fn(params):
+            loss, metrics, _ = task.loss_and_metrics(
+                {"params": params}, batch, loss_rng, train=True
+            )
+            return loss, metrics
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt), loss
+
+    return train_step
+
+
 def measure_train(image_size: int, batch_sizes, use_checkpoint=False, fused_attention=None,
                   fused_conv=None, dropout=0.1, prng_impl="threefry2x32"):
     """(batch, tiles/s, step_flops, mfu) at the largest batch that fits."""
@@ -91,24 +114,7 @@ def measure_train(image_size: int, batch_sizes, use_checkpoint=False, fused_atte
                 jax.random.key(1), (jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32),)
             )
             state = TrainState.create(variables, tx)
-
-            def train_step(state, src, tgt, rng):
-                step_rng = jax.random.fold_in(rng, state.step)
-                prep_rng, loss_rng = jax.random.split(step_rng)
-                batch = task.prepare_batch((src, tgt), prep_rng, train=True)
-
-                def loss_fn(params):
-                    loss, metrics, _ = task.loss_and_metrics(
-                        {"params": params}, batch, loss_rng, train=True
-                    )
-                    return loss, metrics
-
-                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-                updates, new_opt = tx.update(grads, state.opt_state, state.params)
-                new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-                return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt), loss
-
-            step = jax.jit(train_step, donate_argnums=(0,))
+            step = jax.jit(_make_train_step(task, tx), donate_argnums=(0,))
             rng = jax.random.key(2, impl=prng_impl)
             compiled = step.lower(state, src, tgt, rng).compile()
             step_flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
@@ -157,22 +163,7 @@ def measure_train_chained(image_size: int, batch_size: int, chain: int = 5,
         jax.random.key(1), (jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32),)
     )
     state = TrainState.create(variables, tx)
-
-    def one_step(state, src, tgt, rng):
-        step_rng = jax.random.fold_in(rng, state.step)
-        prep_rng, loss_rng = jax.random.split(step_rng)
-        batch = task.prepare_batch((src, tgt), prep_rng, train=True)
-
-        def loss_fn(params):
-            loss, metrics, _ = task.loss_and_metrics(
-                {"params": params}, batch, loss_rng, train=True
-            )
-            return loss, metrics
-
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-        return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt), loss
+    one_step = _make_train_step(task, tx)
 
     def chunk(state, src, tgt, rng):
         def body(st, _):
