@@ -182,6 +182,30 @@ def test_steps_per_execution_respects_max_steps(tmp_path):
     assert objects["trainer"]._chunks_dispatched >= 1
 
 
+def test_save_last_refreshed_after_validation(tmp_path):
+    """'last' is written at train-epoch end (crash safety) AND again after
+    validation, so a resume never replays with the plateau/top-k state one
+    validation behind (review r3)."""
+    from stain2stain_tpu.config import instantiate
+    from stain2stain_tpu.training import ModelCheckpoint, Trainer
+
+    cfg = make_cfg(tmp_path, ["test=false"])
+    dm = instantiate(cfg["data"])
+    task = instantiate(cfg["model"])
+    cb = ModelCheckpoint(save_last=True)
+    saves = []
+    trainer = Trainer(
+        default_root_dir=str(tmp_path / "out"), max_epochs=1, devices=1,
+        callbacks=[cb], logger=False,
+    )
+    orig = trainer.save_checkpoint
+    trainer.save_checkpoint = lambda path: (saves.append(path), orig(path))[1]
+    trainer.fit(task, dm)
+    last_writes = [p for p in saves if str(p).endswith("last")]
+    # one pre-val crash-safety write + one post-val refresh
+    assert len(last_writes) == 2
+
+
 def test_precision_bf16_mixed(tmp_path):
     cfg = make_cfg(
         tmp_path,
