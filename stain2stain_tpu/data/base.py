@@ -112,6 +112,16 @@ class DataLoader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self._epoch = 0
+        self._pool = None
+        self._pool_lock = threading.Lock()
+        if drop_last and 0 < len(dataset) < batch_size:
+            # would silently yield ZERO batches and crash the trainer with a
+            # bare StopIteration at the first next(iter(loader))
+            raise ValueError(
+                f"dataset has {len(dataset)} examples but the global batch "
+                f"size is {batch_size} with drop_last=True - no full batch "
+                "can ever be formed (reduce batch_size or add data)"
+            )
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -219,9 +229,19 @@ class DataLoader:
     def _parallel_fetch(self, idxs: np.ndarray) -> list:
         from concurrent.futures import ThreadPoolExecutor
 
-        if not hasattr(self, "_pool"):
-            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        if self._pool is None:
+            # Two producers can race here (the trainer peeks one batch from a
+            # throwaway iterator before the epoch loop starts a second one) —
+            # without the lock both would create an executor and one leaks.
+            with self._pool_lock:
+                if self._pool is None:
+                    self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
         return list(self._pool.map(lambda i: self.dataset[int(i)], idxs))
+
+    def __del__(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 class DataModule:

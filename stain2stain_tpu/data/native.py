@@ -106,7 +106,17 @@ def decode_batch(
     )
     if ok != n:
         bad = [p for p in paths if not lib.s2s_probe(os.fsencode(p), (ctypes.c_int * 2)())]
-        raise RuntimeError(f"native decode failed for {n - ok}/{n} tiles, e.g. {bad[:3]}")
+        if bad:
+            detail = f"headers unreadable for e.g. {bad[:3]}"
+        else:
+            # every header probes fine — the failure happened during the full
+            # decode (e.g. a file truncated after its header); name candidates
+            # instead of printing an empty list
+            detail = (
+                "all headers probe OK, so a tile failed mid-decode "
+                f"(truncated/corrupt body); batch paths e.g. {list(paths)[:3]}"
+            )
+        raise RuntimeError(f"native decode failed for {n - ok}/{n} tiles: {detail}")
     return out
 
 

@@ -207,10 +207,9 @@ class PairedDataModule(DataModule):
         prefetch_factor: int = 2,
         direction_compat: str = "reference",
     ):
+        # snapshot BEFORE any imports so hparams holds only ctor args
+        self.hparams = {k: v for k, v in locals().items() if k != "self"}
         import jax
-
-        self.hparams = dict(locals())
-        self.hparams.pop("self")
         self.data_dir = data_dir
         self.csv_file_name = csv_file_name
         self.source_column = source_column

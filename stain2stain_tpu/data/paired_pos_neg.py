@@ -34,10 +34,14 @@ class NegativePairedDataset(Dataset):
         crop_size: int = 256,
         direction: str = "HE_to_IHC",
         seed: int = 0,
+        out_size: Optional[int] = None,
     ):
         self.he_dir = he_dir
         self.ihc_dir = ihc_dir
         self.crop_size = crop_size
+        # final tile size; when != crop_size the crop is resized so negatives
+        # collate with the positive dataset's image_size tiles
+        self.out_size = out_size or crop_size
         self.swap = direction != "HE_to_IHC"
         self.seed = seed
         self._epoch = 0
@@ -71,10 +75,10 @@ class NegativePairedDataset(Dataset):
 
     def _crop(self, img: np.ndarray, top: int, left: int) -> np.ndarray:
         out = img[top : top + self.crop_size, left : left + self.crop_size]
-        if out.shape[0] != self.crop_size or out.shape[1] != self.crop_size:
+        if out.shape[0] != self.out_size or out.shape[1] != self.out_size:
             import cv2
 
-            out = cv2.resize(out, (self.crop_size, self.crop_size))
+            out = cv2.resize(out, (self.out_size, self.out_size))
         return out
 
 
@@ -93,7 +97,7 @@ class PairedPosNegDataModule(DataModule):
         negative_data_dir: Optional[str] = None,
         negative_he_folder: str = "train_he",
         negative_ihc_folder: str = "train_ihc",
-        use_negative_data: bool = True,
+        use_negative_data: bool = False,  # ref default (paired_postive_negative...py:186)
         batch_size: int = 8,
         num_workers: int = 4,
         image_size: int = 256,
@@ -109,7 +113,7 @@ class PairedPosNegDataModule(DataModule):
         self.csv_file_name = csv_file_name
         self.source_column = source_column
         self.target_column = target_column
-        self.negative_data_dir = negative_data_dir or data_dir
+        self.negative_data_dir = negative_data_dir
         self.negative_he_folder = negative_he_folder
         self.negative_ihc_folder = negative_ihc_folder
         self.use_negative_data = use_negative_data
@@ -142,13 +146,16 @@ class PairedPosNegDataModule(DataModule):
         if self.data_train is not None:
             return
         positive = self._positive("train")
-        if self.use_negative_data:
+        # ref gate (paired_postive_negative_data_he_amyloid.py:245): both the
+        # flag AND a directory must be present, else train positive-only
+        if self.use_negative_data and self.negative_data_dir is not None:
             negative = NegativePairedDataset(
                 he_dir=os.path.join(self.negative_data_dir, self.negative_he_folder),
                 ihc_dir=os.path.join(self.negative_data_dir, self.negative_ihc_folder),
                 crop_size=self.crop_size,
                 direction=self.direction,
                 seed=self.seed,
+                out_size=self.image_size,
             )
             self.data_train = ConcatDataset([positive, negative])
             # 1/N class weights → balanced sampling with replacement (ref :268-277)

@@ -98,7 +98,20 @@ class SyntheticPairedDataModule(DataModule):
             )
 
     def setup(self, stage: Optional[str] = None) -> None:
-        self.prepare_data()  # hermetic even if prepare_data was skipped
+        # Hermetic even if prepare_data was skipped — but in a multi-process
+        # run only process 0 may generate (concurrent writers over the same
+        # PNG/CSV tree on shared storage tear each other's files); the rest
+        # wait at a barrier until the tree exists.
+        import jax
+
+        if jax.process_count() > 1:
+            if jax.process_index() == 0:
+                self.prepare_data()
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("synthetic_generate")
+        else:
+            self.prepare_data()
         self._inner.setup(stage)
 
     def train_dataloader(self):

@@ -437,6 +437,13 @@ class Trainer:
 
         if self.is_global_zero:
             datamodule.prepare_data()
+        if jax.process_count() > 1:
+            # Lightning barriers between prepare_data (process-0 side effects:
+            # downloads, split files) and setup (every process reads them);
+            # without it a non-zero process can read a torn/missing file.
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("prepare_data")
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader()
         if train_loader is None:

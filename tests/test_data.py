@@ -111,7 +111,8 @@ def test_any2any_datamodule_split_and_labels(tmp_path):
 def test_posneg_datamodule_weights_and_mixing(tmp_path):
     root = generate_pos_neg_layout(tmp_path / "pn", n_pos_train=6, n_neg=2, size=48)
     dm = PairedPosNegDataModule(
-        data_dir=str(root), batch_size=4, num_workers=1, image_size=48, crop_size=48
+        data_dir=str(root), batch_size=4, num_workers=1, image_size=48, crop_size=48,
+        use_negative_data=True, negative_data_dir=str(root),
     )
     dm.setup()
     assert len(dm.data_train) == 8
@@ -121,6 +122,37 @@ def test_posneg_datamodule_weights_and_mixing(tmp_path):
     assert w[-1] == pytest.approx(3 * w[0])
     batch = next(iter(dm.train_dataloader()))
     assert batch[0].shape == (4, 48, 48, 3)
+
+
+def test_posneg_defaults_positive_only(tmp_path):
+    """Reference parity (paired_postive_negative...py:186,245): negatives are
+    opt-in, and the flag alone without a directory trains positive-only
+    instead of crashing."""
+    root = generate_pos_neg_layout(tmp_path / "pn", n_pos_train=6, n_neg=2, size=48)
+    dm = PairedPosNegDataModule(
+        data_dir=str(root), batch_size=2, num_workers=1, image_size=48
+    )
+    dm.setup()
+    assert len(dm.data_train) == 6 and dm._train_weights is None
+    dm2 = PairedPosNegDataModule(
+        data_dir=str(root), batch_size=2, num_workers=1, image_size=48,
+        use_negative_data=True,  # no negative_data_dir -> positive-only
+    )
+    dm2.setup()
+    assert len(dm2.data_train) == 6
+
+
+def test_posneg_crop_resize_collates_with_positives(tmp_path):
+    """crop_size != image_size: negative crops are resized to image_size so
+    the mixed batch collates (review r3)."""
+    root = generate_pos_neg_layout(tmp_path / "pn", n_pos_train=4, n_neg=2, size=48)
+    dm = PairedPosNegDataModule(
+        data_dir=str(root), batch_size=2, num_workers=1, image_size=32, crop_size=48,
+        use_negative_data=True, negative_data_dir=str(root),
+    )
+    dm.setup()
+    batch = next(iter(dm.train_dataloader()))
+    assert batch[0].shape == (2, 32, 32, 3)
 
 
 def test_mnist_datamodule_synthetic_fallback():
