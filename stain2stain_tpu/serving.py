@@ -10,8 +10,9 @@ Python model code required at load time. Built on ``jax.export``:
 - :func:`load_generator`  — deserialize and return a callable; runs on any
   platform the artifact was lowered for
 
-The artifact's function signature is ``generate(source) -> image`` (or
-``(source, cond) -> ...`` for conditional variants via ``extra_args``).
+The artifact's function signature is ``generate(source) -> image``;
+conditional variants bake their condition in via ``gen_kwargs``
+(e.g. ``target_class=2``).
 """
 
 from __future__ import annotations

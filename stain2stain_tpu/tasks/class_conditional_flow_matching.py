@@ -20,6 +20,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from stain2stain_tpu.ops.image import denormalize
 from stain2stain_tpu.ops.losses import mse_loss
 
 from .base import FlowMatchingTask
@@ -80,6 +81,20 @@ class ClassConditionalFlowMatchingModule(FlowMatchingTask):
 
         out = self._integrate(velocity, tiled, num_steps)
         return out.reshape(n_cls, batch, *source.shape[1:])
+
+    def render_panels(self, variables, batch, rng, num_steps: int = 2) -> dict:
+        """Generate with each example's OWN sampled target class — the base
+        implementation's target_class=0 default would translate ~(1-1/K) of
+        the panel to the wrong stain while 'target' shows another class."""
+        prepared = self.prepare_batch(batch, rng, train=False)
+        src, tgt, y = prepared[0], prepared[1], prepared[2]
+        n = min(self.n_images_log, src.shape[0])
+        gen = self.generate(variables, src[:n], num_steps=num_steps, target_class=y[:n])
+        return {
+            "source": denormalize(src[:n]),
+            "generated": denormalize(gen),
+            "target": denormalize(tgt[:n]),
+        }
 
 
 __all__ = ["ClassConditionalFlowMatchingModule"]

@@ -34,8 +34,11 @@ class AuxFractionFlowMatchingModule(FlowMatchingTask):
         t = jnp.zeros((x.shape[0],), jnp.float32)
         net_rng, head_rng = jax.random.split(rng)
         variables = self.net.init(net_rng, t, x)
-        # Regression head: Dense(C→1) on the globally pooled velocity field.
-        chans = 3
+        # Regression head: Dense(C→1) on the globally pooled velocity field;
+        # C comes from the net's actual output (out_channels may differ from 3)
+        chans = int(jax.eval_shape(
+            lambda v, tt, xx: self.net.apply(v, tt, xx), variables, t, x
+        ).shape[-1])
         w = jax.random.normal(head_rng, (chans, 1), jnp.float32) / jnp.sqrt(chans)
         params = dict(variables["params"])
         params["frac_head"] = {"kernel": w, "bias": jnp.zeros((1,), jnp.float32)}

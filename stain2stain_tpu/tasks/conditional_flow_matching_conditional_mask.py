@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 from stain2stain_tpu.ops.losses import mse_loss
 
+from stain2stain_tpu.ops.image import denormalize
+
 from .base import FlowMatchingTask
 
 
@@ -56,8 +58,17 @@ class MaskConditionedFlowMatchingModule(FlowMatchingTask):
         if source.ndim == 3:
             source = source[None]
         if mask is None:
-            mask = jnp.zeros((*source.shape[:-1], 1), source.dtype)
-        elif mask.ndim == 3:
+            # Only the ToggleMask subclass trains on zeroed masks (its
+            # classifier-free coin); this model never saw a zero mask, so
+            # silently substituting one would return degraded translations
+            # with no error. (Ref contract: conditional_mask.py:172-198
+            # always concatenates the real mask at inference.)
+            raise ValueError(
+                "MaskConditionedFlowMatchingModule.generate requires the "
+                "conditioning mask; only the mask-toggled variant supports "
+                "unconditioned (zero-mask) generation"
+            )
+        if mask.ndim == 3:
             mask = mask[None]
 
         def velocity(t, x):
@@ -66,8 +77,6 @@ class MaskConditionedFlowMatchingModule(FlowMatchingTask):
         return self._integrate(velocity, source, num_steps)
 
     def render_panels(self, variables, batch, rng, num_steps: int = 2) -> dict:
-        from stain2stain_tpu.ops.image import denormalize
-
         prepared = self.prepare_batch(batch, rng, train=False)
         src, tgt, mask = prepared[0], prepared[1], prepared[2]
         n = min(self.n_images_log, src.shape[0])

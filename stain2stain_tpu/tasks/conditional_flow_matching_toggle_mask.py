@@ -37,10 +37,16 @@ class ToggleMaskFlowMatchingModule(MaskConditionedFlowMatchingModule):
         loss = mse_loss(vt, ut)
         return loss, {"loss": loss}, {}
 
-    # generate() inherits the mask-conditioned sampler; with mask=None it runs
-    # on a zero mask, matching the reference's unconditioned generation default
-    # (toggle_mask.py:185 zeroes the mask before integrating). Pass an explicit
-    # mask to generate conditioned.
+    def generate(self, variables, source, num_steps: int = 100, mask=None):
+        # mask=None runs on a zero mask — the reference's unconditioned
+        # generation default (toggle_mask.py:185 zeroes the mask before
+        # integrating); the model trained on zeroed masks via the coin flip.
+        # Pass an explicit mask to generate conditioned.
+        if source.ndim == 3:
+            source = source[None]
+        if mask is None:
+            mask = jnp.zeros((*source.shape[:-1], 1), source.dtype)
+        return super().generate(variables, source, num_steps=num_steps, mask=mask)
 
 
 __all__ = ["ToggleMaskFlowMatchingModule"]

@@ -25,7 +25,6 @@ class MNISTLitModule(TaskModule):
 
     def __init__(self, net=None, optimizer=None, scheduler=None, compile: bool = True):
         super().__init__(net=net, optimizer=optimizer, scheduler=scheduler, log_images=False)
-        self.val_acc_best = 0.0
 
     def prepare_batch(self, batch, rng, train=False, augment=None):
         x, y = batch[0], batch[1]

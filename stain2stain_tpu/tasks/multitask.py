@@ -96,7 +96,11 @@ class SharedBackboneTask(FlowMatchingTask):
         x = jnp.zeros(src.shape, jnp.float32) if src.dtype != jnp.float32 else src
         e_rng, f_rng, s_rng = jax.random.split(rng, 3)
         enc_vars = self.encoder.init(e_rng, x)
-        bottleneck, skips = self.encoder.apply(enc_vars, x)
+        # shape-only probe: the decoders only need the encoder OUTPUT SHAPES
+        # to init — eval_shape costs zero FLOPs vs a real forward pass
+        out = jax.eval_shape(self.encoder.apply, enc_vars, x)
+        bottleneck = jnp.zeros(out[0].shape, out[0].dtype)
+        skips = [jnp.zeros(sd.shape, sd.dtype) for sd in out[1]]
         t_emb = timestep_embedding_sincos(jnp.zeros((x.shape[0],)), self.time_emb_dim)
         flow_vars = self.flow_decoder.init(f_rng, bottleneck, skips, t_emb)
         seg_vars = self.seg_decoder.init(s_rng, bottleneck, skips)
@@ -122,22 +126,35 @@ class SharedBackboneTask(FlowMatchingTask):
         )
 
     def _fused_heads(self, variables, t, xt, src, *, train: bool):
-        """One 2B-batch encoder pass feeding both heads (see module docstring)."""
+        """One 2B-batch encoder pass feeding both heads (see module docstring).
+
+        Returns ``(vt, seg_logits, var_updates)``. With ``norm='batch'``
+        modules the updates carry the new running stats, nested per module
+        exactly like ``init_variables``'s merged layout, so the trainer's
+        ``extra_vars`` merge keeps them flowing (the GroupNorm default has no
+        mutable collections and the updates dict stays empty).
+        """
         batch = xt.shape[0]
-        bottleneck, skips = self._encode(
-            variables, jnp.concatenate([xt, src], axis=0), train=train
+        stats: dict = {}
+
+        def run(module, name, *args):
+            mvars = _module_vars(variables, name)
+            if train and "batch_stats" in mvars:
+                out, ups = module.apply(mvars, *args, train=train, mutable=["batch_stats"])
+                stats[name] = ups["batch_stats"]
+                return out
+            return module.apply(mvars, *args, train=train)
+
+        bottleneck, skips = run(
+            self.encoder, "encoder", jnp.concatenate([xt, src], axis=0)
         )
         b_flow, b_seg = bottleneck[:batch], bottleneck[batch:]
         s_flow = [s[:batch] for s in skips]
         s_seg = [s[batch:] for s in skips]
         t_emb = timestep_embedding_sincos(t, self.time_emb_dim)
-        vt = self.flow_decoder.apply(
-            _module_vars(variables, "flow_decoder"), b_flow, s_flow, t_emb, train=train
-        )
-        seg_logits = self.seg_decoder.apply(
-            _module_vars(variables, "seg_decoder"), b_seg, s_seg, train=train
-        )
-        return vt, seg_logits
+        vt = run(self.flow_decoder, "flow_decoder", b_flow, s_flow, t_emb)
+        seg_logits = run(self.seg_decoder, "seg_decoder", b_seg, s_seg)
+        return vt, seg_logits, ({"batch_stats": stats} if stats else {})
 
     # -------------------------------------------------------------- sampling
     def generate(self, variables, source: jax.Array, num_steps: int = 50):
@@ -179,7 +196,7 @@ class MultitaskFlowMatchingModule(SharedBackboneTask):
         src, tgt, gt_mask = batch[0], batch[1], batch[2]
         fm_rng, _ = jax.random.split(rng)
         t, xt, ut = self.flow_matcher.sample_location_and_conditional_flow(fm_rng, src, tgt)
-        vt, seg_logits = self._fused_heads(variables, t, xt, src, train=train)
+        vt, seg_logits, var_updates = self._fused_heads(variables, t, xt, src, train=train)
 
         flow_loss = mse_loss(vt, ut)
         seg_dice = dice_loss(seg_logits, gt_mask)
@@ -203,7 +220,7 @@ class MultitaskFlowMatchingModule(SharedBackboneTask):
             union_or = jnp.sum(jnp.clip(pred + gt, 0.0, 1.0))
             metrics["dice_coef"] = (2.0 * inter + 1e-7) / (union_sum + 1e-7)
             metrics["iou"] = (inter + 1e-7) / (union_or + 1e-7)
-        return loss, metrics, {}
+        return loss, metrics, var_updates
 
     def predict_mask(self, seg_logits: jax.Array) -> jax.Array:
         return (jax.nn.sigmoid(seg_logits) > 0.5).astype(jnp.float32)

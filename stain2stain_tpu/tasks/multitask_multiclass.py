@@ -35,7 +35,7 @@ class MultitaskMulticlassFlowMatchingModule(SharedBackboneTask):
         src, tgt, gt_mask = batch[0], batch[1], batch[2]  # gt_mask: (B, H, W) int32
         fm_rng, _ = jax.random.split(rng)
         t, xt, ut = self.flow_matcher.sample_location_and_conditional_flow(fm_rng, src, tgt)
-        vt, seg_logits = self._fused_heads(variables, t, xt, src, train=train)
+        vt, seg_logits, var_updates = self._fused_heads(variables, t, xt, src, train=train)
 
         flow_loss = mse_loss(vt, ut)
         seg_dice = multiclass_dice_loss(
@@ -57,7 +57,7 @@ class MultitaskMulticlassFlowMatchingModule(SharedBackboneTask):
             )
             metrics["dice_coef"] = jnp.mean(dice_c)
             metrics["iou"] = jnp.mean(iou_c)
-        return loss, metrics, {}
+        return loss, metrics, var_updates
 
     def predict_mask(self, seg_logits: jax.Array) -> jax.Array:
         return jnp.argmax(seg_logits, axis=-1).astype(jnp.int32)

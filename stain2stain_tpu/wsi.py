@@ -26,7 +26,7 @@ TPU-first design:
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -111,14 +111,14 @@ def make_tiled_generator(
     task,
     variables,
     num_steps: int,
-    extra_args: Sequence = (),
     **gen_kwargs,
 ) -> Callable[[np.ndarray], np.ndarray]:
     """Jit ``task.generate`` as a fixed-shape batched tile translator.
 
-    ``extra_args`` are traced positional conditions passed after the source
-    batch (e.g. a class-code array for any2any tasks); multitask tuples
-    collapse to the translated image.
+    Extra conditions go through ``gen_kwargs`` (e.g. ``target_class=2`` for a
+    fixed-class any2any run, or ``mask=...`` for mask-conditioned variants);
+    for per-call class switching use :func:`make_conditioned_tiled_generator`.
+    Multitask (image, mask) tuples collapse to the translated image.
 
     ``variables`` is a jit *argument*, not a closure capture: closed-over
     params become embedded program constants, which duplicates param HBM and
@@ -128,7 +128,7 @@ def make_tiled_generator(
 
     @jax.jit
     def gen(v, batch):
-        result = task.generate(v, batch, *extra_args, num_steps=num_steps, **gen_kwargs)
+        result = task.generate(v, batch, num_steps=num_steps, **gen_kwargs)
         return result[0] if isinstance(result, tuple) else result
 
     return lambda batch: gen(variables, batch)

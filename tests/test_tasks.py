@@ -92,6 +92,18 @@ def test_class_conditional_task_and_batched_any2any():
     assert all_cls.shape == (3, B, S, S, 3)
     # class 1 slice must equal the single-class call (same params, same path)
     np.testing.assert_allclose(np.asarray(all_cls[1]), np.asarray(gen), atol=1e-5)
+    # render_panels generates each example's OWN target class (review r3: the
+    # base default generated class 0 for everything): with per-example labels
+    # the generated panel must match per-example single-class generations.
+    panels = task.render_panels(variables, batch, jax.random.key(5), num_steps=2)
+    assert set(panels) == {"source", "generated", "target"}
+    prepared = task.prepare_batch(batch, jax.random.key(5), train=False)
+    y = np.asarray(prepared[2])
+    from stain2stain_tpu.ops.image import denormalize
+    expect = np.stack([
+        np.asarray(denormalize(all_cls[int(y[i]), i])) for i in range(min(len(y), panels["generated"].shape[0]))
+    ])
+    np.testing.assert_allclose(np.asarray(panels["generated"])[: len(expect)], expect, atol=1e-5)
 
 
 def test_masked_task_upweights_roi():
@@ -130,6 +142,10 @@ def test_mask_conditioned_task_uses_4ch_input():
     g0 = task.generate(variables, batch[0], num_steps=2, mask=jnp.zeros_like(batch[2]))
     g1 = task.generate(variables, batch[0], num_steps=2, mask=jnp.ones_like(batch[2]))
     assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    # omitting the mask is an error for the NON-toggled variant (review r3:
+    # a silent zero mask is an input distribution this model never trained on)
+    with pytest.raises(ValueError, match="requires the conditioning mask"):
+        task.generate(variables, batch[0], num_steps=2)
 
 
 def test_toggle_mask_training_flips_batch_mask():
@@ -141,6 +157,11 @@ def test_toggle_mask_training_flips_batch_mask():
     zero_batch = (batch[0], batch[1], jnp.zeros_like(batch[2]))
     l_zero, _, _ = task.loss_and_metrics(variables, zero_batch, jax.random.key(3), train=True)
     np.testing.assert_allclose(float(l_train), float(l_zero), rtol=1e-5)
+    # the toggled variant DOES support unconditioned generation (ref
+    # toggle_mask.py:185 zeroes the mask at inference): mask=None is zeros
+    g_none = task.generate(variables, batch[0], num_steps=2)
+    g_zero = task.generate(variables, batch[0], num_steps=2, mask=jnp.zeros_like(batch[2]))
+    np.testing.assert_allclose(np.asarray(g_none), np.asarray(g_zero), atol=1e-6)
 
 
 def multitask_components(seg_out=1):
@@ -179,11 +200,49 @@ def test_multitask_fused_heads_match_separate_forward():
     src, tgt, _ = batch
     t = jnp.array([0.3, 0.7])
     xt = 0.5 * (src + tgt)
-    vt_fused, seg_fused = task._fused_heads(variables, t, xt, src, train=False)
+    vt_fused, seg_fused, updates = task._fused_heads(variables, t, xt, src, train=False)
+    assert updates == {}  # GroupNorm default: no mutable collections
     vt_sep = task.forward_flow(variables, t, xt, train=False)
     seg_sep = task.forward_segmentation(variables, src, train=False)
     np.testing.assert_allclose(np.asarray(vt_fused), np.asarray(vt_sep), atol=1e-5)
     np.testing.assert_allclose(np.asarray(seg_fused), np.asarray(seg_sep), atol=1e-5)
+
+
+def test_multitask_batchnorm_trains_and_updates_stats():
+    """norm='batch' (the reference SharedEncoder's BatchNorm,
+    shared_encoder.py:15-19) must actually train: the fused heads apply with
+    mutable batch_stats and the updates flow back per module (review r3 — the
+    old path raised in flax or silently froze init-time stats)."""
+    feats = (8, 16)
+    task = MultitaskFlowMatchingModule(
+        encoder=SharedEncoder(in_channels=3, features=feats, norm="batch"),
+        flow_decoder=FlowMatchingDecoder(
+            bottleneck_channels=feats[-1], features=feats[:-1][::-1],
+            out_channels=3, time_emb_dim=16, norm="batch",
+        ),
+        seg_decoder=SegmentationDecoder(
+            bottleneck_channels=feats[-1], features=feats[:-1][::-1],
+            out_channels=1, norm="batch",
+        ),
+        solver=SolverConfig("euler"),
+        time_emb_dim=16,
+    )
+    batch = img_batch(1, "mask")
+    variables = task.init_variables(RNG, batch)
+    assert "batch_stats" in variables
+    loss, _, updates = task.loss_and_metrics(variables, batch, jax.random.key(1), train=True)
+    assert np.isfinite(float(loss))
+    assert set(updates["batch_stats"]) == {"encoder", "flow_decoder", "seg_decoder"}
+    # running stats actually moved away from init
+    old = jax.tree_util.tree_leaves(variables["batch_stats"]["encoder"])
+    new = jax.tree_util.tree_leaves(updates["batch_stats"]["encoder"])
+    assert any(not np.allclose(o, n) for o, n in zip(old, new))
+    # eval consumes the (merged) stats immutably
+    merged = {**variables, **updates}
+    _, eval_metrics, eval_updates = task.loss_and_metrics(
+        merged, batch, jax.random.key(2), train=False
+    )
+    assert eval_updates == {} and np.isfinite(float(eval_metrics["loss"]))
 
 
 def test_multitask_multiclass():
