@@ -105,12 +105,18 @@ class FeatureExtractor:
 
     def __init__(self, kind: str = "auto", feature_dim: int = 512, seed: int = 0,
                  weights_path: str | None = None):
+        if kind not in ("auto", "inception", "random"):
+            raise ValueError(
+                f"unknown feature-extractor kind {kind!r}: expected "
+                "'auto', 'inception', or 'random'"
+            )
         self.kind = kind
         self.feature_dim = feature_dim
         self.seed = seed
         self._inception_params = None
         self._inception_fn = None
         self._random_params = None
+        self._random_fn = None
         if kind in ("auto", "inception"):
             self._inception_params = self._try_inception(weights_path)
             if self._inception_params is None and kind == "inception":
@@ -151,16 +157,20 @@ class FeatureExtractor:
                 for i, k in enumerate(keys)
             ]
 
-        def fwd(x, params):
-            h = x
-            for w in params:
-                h = jax.lax.conv_general_dilated(
-                    h, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-                )
-                h = jax.nn.leaky_relu(h, 0.2)
-            return jnp.mean(h, axis=(1, 2))
+        if self._random_fn is None:
+            # jit ONCE; re-wrapping a fresh closure per call would retrace
+            # and recompile the CNN on every batch
+            def fwd(x, params):
+                h = x
+                for w in params:
+                    h = jax.lax.conv_general_dilated(
+                        h, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+                    )
+                    h = jax.nn.leaky_relu(h, 0.2)
+                return jnp.mean(h, axis=(1, 2))
 
-        return jax.jit(fwd)(x.astype(jnp.float32), self._random_params)
+            self._random_fn = jax.jit(fwd)
+        return self._random_fn(x.astype(jnp.float32), self._random_params)
 
     def __call__(self, images) -> np.ndarray:
         """images: (B, H, W, 3) in [0, 1] → (B, D) float64 features."""
@@ -174,12 +184,19 @@ class FeatureExtractor:
         return np.asarray(self._random_cnn(jnp.asarray(images)), dtype=np.float64)
 
 
-def fid_from_stats(mu1, sigma1, mu2, sigma2) -> float:
-    """Fréchet distance between two Gaussians (standard FID formula)."""
+def fid_from_stats(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Fréchet distance between two Gaussians (standard FID formula).
+
+    Follows pytorch-fid's numerical convention: if sqrtm of the (often
+    rank-deficient, e.g. fewer samples than feature dims) product is not
+    finite, retry with an ``eps`` offset on the covariance diagonals."""
     from scipy import linalg
 
     diff = mu1 - mu2
     covmean = linalg.sqrtm(sigma1 @ sigma2)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * np.trace(covmean))
@@ -232,9 +249,16 @@ def evaluate_quality(
         psnr_vals.append(float(psnr(gen01, tgt01)))
         gen_all.append(np.asarray(gen01))
         tgt_all.append(np.asarray(tgt01))
+    if not gen_all:
+        raise ValueError(
+            "evaluate_quality saw no batches (empty loader or max_batches=0)"
+        )
+    # example-weighted means: a ragged final batch must not count as much as
+    # a full one
+    weights = np.array([g.shape[0] for g in gen_all], np.float64)
     out = {
-        "ssim": float(np.mean(ssim_vals)),
-        "psnr": float(np.mean(psnr_vals)),
+        "ssim": float(np.average(ssim_vals, weights=weights)),
+        "psnr": float(np.average(psnr_vals, weights=weights)),
     }
     gen_np = np.concatenate(gen_all)
     tgt_np = np.concatenate(tgt_all)

@@ -566,7 +566,10 @@ def gn_stats(x: jax.Array, groups: int, eps: float = 1e-5):
     B, H, W, C = x.shape
     xg = x.astype(jnp.float32).reshape(B, H * W, groups, C // groups)
     mean = jnp.mean(xg, axis=(1, 3))
-    var = jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean)
+    # clamp: E[x^2]-E[x]^2 can cancel below -eps in f32 for near-constant
+    # channels with large means -> rsqrt(negative) = NaN (norms._stats has
+    # the same guard; the fused and unfused paths must agree)
+    var = jnp.maximum(jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean), 0.0)
     rstd = jax.lax.rsqrt(var + eps)
     reps = C // groups
     return (

@@ -171,7 +171,21 @@ def odeint_dopri5(
         fn(jnp.asarray(t0, dtype), x0),
         jnp.asarray(0, jnp.int32),
     )
-    _, x_final, _, _, _ = jax.lax.while_loop(cond, body, init)
+    t_final, x_final, _, _, n_final = jax.lax.while_loop(cond, body, init)
+    # Non-convergence is otherwise silent (the loop exits at max_steps with t
+    # frozen short of t1 and returns a partially integrated state): surface it
+    # loudly — callers jit this, so a device-side print is the available
+    # signal (matches torchdyn, which also cannot raise mid-solve).
+    jax.lax.cond(
+        jnp.abs(t_final - t1) > 1e-6 * jnp.maximum(jnp.abs(span), 1.0),
+        lambda: jax.debug.print(
+            "WARNING: dopri5 stopped at t={t} of {t1} after {n} steps "
+            "(step size collapsed or max_steps hit); result is partially "
+            "integrated",
+            t=t_final, t1=t1, n=n_final,
+        ),
+        lambda: None,
+    )
     return x_final
 
 

@@ -76,3 +76,23 @@ def test_ssim_bounded_on_accelerator():
     v = float(ssim(jnp.asarray(base), jnp.asarray(other)))
     assert -1.0 <= v <= 1.0 + 1e-5
     assert float(ssim(jnp.asarray(base), jnp.asarray(base))) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_feature_extractor_rejects_unknown_kind():
+    from stain2stain_tpu.ops.metrics import FeatureExtractor
+
+    with pytest.raises(ValueError, match="unknown feature-extractor kind"):
+        FeatureExtractor(kind="Inception")  # case typo must not silently
+        # fall back to random features
+
+
+def test_fid_from_stats_survives_rank_deficient_covs():
+    # fewer samples than feature dims (the common eval case): sqrtm of the
+    # near-singular product must not leak NaN into the FID
+    from stain2stain_tpu.ops.metrics import fid_from_stats
+
+    rng = np.random.default_rng(0)
+    f1 = rng.normal(size=(8, 64))
+    f2 = rng.normal(loc=0.3, size=(8, 64))
+    v = fid_from_stats(f1.mean(0), np.cov(f1, rowvar=False), f2.mean(0), np.cov(f2, rowvar=False))
+    assert np.isfinite(v)
