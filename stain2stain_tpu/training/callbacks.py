@@ -111,24 +111,35 @@ class ModelCheckpoint(Callback):
             self.last_model_path = str(self._dir(trainer) / "last")
             trainer.save_checkpoint(self.last_model_path)
 
+    # NOTE: these hooks run on EVERY process — checkpoint decisions derive
+    # from globally-reduced callback_metrics (identical everywhere), and the
+    # save itself must be collective (fsdp-sharded leaves are gathered across
+    # hosts inside CheckpointIO.save; a rank-gated call would deadlock).
+    # Filesystem side effects beyond the save are still rank-0-only.
+
     def on_train_epoch_end(self, trainer, task) -> None:
-        if not trainer.is_global_zero or trainer.sanity_checking:
+        if trainer.sanity_checking:
             return
         if self.save_on_train_epoch_end:
             self._save_last(trainer)
 
     def on_validation_epoch_end(self, trainer, task) -> None:
-        if not trainer.is_global_zero or trainer.sanity_checking:
+        if trainer.sanity_checking:
             return
         epoch = trainer.current_epoch
         metrics = trainer.callback_metrics
         base = self._dir(trainer)
 
-        # Always refresh 'last' after validation: the train-epoch-end write
+        # Refresh 'last' after a REAL validation: the train-epoch-end write
         # (crash safety under check_val_every_n_epoch=N) predates this
         # epoch's validation, so a resume from it would replay the next epoch
-        # with the plateau-scheduler/top-k state one validation behind.
-        self._save_last(trainer)
+        # with the plateau-scheduler/top-k state one validation behind. The
+        # trainer also fires this hook on no-val-loader epochs (save_last
+        # still must happen somewhere when save_on_train_epoch_end=False) —
+        # skip the duplicate multi-hundred-MB write when nothing validated
+        # and the train-epoch-end write already ran.
+        if getattr(trainer, "_val_ran", True) or not self.save_on_train_epoch_end:
+            self._save_last(trainer)
 
         if self.monitor is None or self.monitor not in metrics:
             return
@@ -142,14 +153,25 @@ class ModelCheckpoint(Callback):
         path = str(base / _format_filename(self.filename, metrics, epoch))
         if self.save_top_k == -1 or len(self.kept) < self.save_top_k or self._better(score, self.kept[-1][0]):
             trainer.save_checkpoint(path)
+            # a path saved twice (e.g. two mid-epoch validations with an
+            # epoch-only filename pattern) keeps ONE entry with its newest
+            # score — duplicate entries would let the top-k pruner delete a
+            # directory another surviving entry still references
+            self.kept = [(sc, pa) for sc, pa in self.kept if pa != path]
             self.kept.append((score, path))
             self.kept.sort(key=lambda sp: sp[0], reverse=(self.mode == "max"))
             while self.save_top_k != -1 and len(self.kept) > self.save_top_k:
                 _, drop = self.kept.pop()
-                if drop != path and Path(drop).exists():
+                still_referenced = any(pa == drop for _, pa in self.kept)
+                if (
+                    trainer.is_global_zero
+                    and drop != path
+                    and not still_referenced
+                    and Path(drop).exists()
+                ):
                     shutil.rmtree(drop, ignore_errors=True)
             self.best_model_score, self.best_model_path = self.kept[0]
-            if self.log_model:
+            if self.log_model and trainer.is_global_zero:
                 for logger in trainer.loggers:
                     logger.log_model(path, {"epoch": epoch, self.monitor: score})
             if self.verbose:
@@ -325,18 +347,23 @@ class ImageLogger(Callback):
 
     def on_validation_epoch_end(self, trainer, task) -> None:
         if (
-            not trainer.is_global_zero
-            or trainer.sanity_checking
+            trainer.sanity_checking
             or not getattr(task, "log_images", False)
             or (trainer.current_epoch + 1) % self.every_n_epochs
         ):
+            return
+        # Draw the key on EVERY process, THEN rank-gate the rendering:
+        # consuming trainer._rng on process 0 only would desynchronize the
+        # (replicated-by-contract) RNG across hosts for all later steps.
+        rng = trainer.next_rng()
+        if not trainer.is_global_zero:
             return
         batch = trainer.peek_val_batch() or trainer.peek_train_batch()
         if batch is None:
             return
         try:
             panels = task.render_panels(
-                trainer.state.variables, batch, trainer.next_rng(), num_steps=self.num_steps
+                trainer.state.variables, batch, rng, num_steps=self.num_steps
             )
         except NotImplementedError:
             return

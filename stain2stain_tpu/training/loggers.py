@@ -60,6 +60,12 @@ class CSVLogger(Logger):
     def log_hyperparams(self, params: dict) -> None:
         (self.log_dir / "hparams.json").write_text(json.dumps(params, indent=2, default=str))
 
+    # rewrite cadence: a run that crashes/preempts mid-fit must not lose its
+    # whole metrics history (the columns evolve — train/val/test keys appear
+    # over time — so the file is rewritten, Lightning-CSVLogger style, every
+    # N rows rather than appended)
+    flush_every = 50
+
     def log_metrics(self, metrics: dict, step: int) -> None:
         row = {"step": step}
         for k, v in metrics.items():
@@ -67,15 +73,20 @@ class CSVLogger(Logger):
             row[key] = float(v)
             self._fields.add(key)
         self._rows.append(row)
+        if len(self._rows) % self.flush_every == 0:
+            self._write()
 
-    def finalize(self, status: str = "success") -> None:
-        if not self._rows:
-            return
+    def _write(self) -> None:
         fields = sorted(self._fields)
         with open(self.log_dir / "metrics.csv", "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=fields)
             writer.writeheader()
             writer.writerows(self._rows)
+
+    def finalize(self, status: str = "success") -> None:
+        if not self._rows:
+            return
+        self._write()
 
 
 class TensorBoardLogger(Logger):

@@ -57,17 +57,46 @@ class CheckpointIO:
         self._ckptr = ocp.PyTreeCheckpointer()
 
     def save(self, path: str | Path, state: TrainState, meta: dict) -> None:
+        """Write the checkpoint; call on EVERY process in multi-host runs.
+
+        fsdp-sharded leaves span hosts (non-fully-addressable), so they are
+        first gathered to every host with a collective — a rank-0-only call
+        would deadlock (and plain device_get raises on such arrays). Only
+        process 0 touches the filesystem."""
+        host_state = self._gather(state)
+        if jax.process_index() != 0:
+            return
         path = Path(path).absolute()
         path.mkdir(parents=True, exist_ok=True)
-        self._ckptr.save(path / "state", jax.device_get(state), force=True)
+        self._ckptr.save(path / "state", host_state, force=True)
         (path / "meta.json").write_text(json.dumps(_jsonable(meta), indent=2))
+
+    @staticmethod
+    def _gather(state: TrainState):
+        if jax.process_count() == 1:
+            return jax.device_get(state)
+        from jax.experimental import multihost_utils
+
+        def fetch(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return np.asarray(multihost_utils.process_allgather(x))
+            return jax.device_get(x)
+
+        return jax.tree_util.tree_map(fetch, state)
 
     def restore(self, path: str | Path, target: Optional[TrainState] = None) -> tuple[TrainState, dict]:
         path = Path(path).absolute()
         if not (path / "state").exists():
             raise FileNotFoundError(f"No checkpoint at {path}")
         if target is not None:
-            restored = self._ckptr.restore(path / "state", item=jax.device_get(target))
+            # structure/shape template only — materializing zeros avoids both
+            # fetching real values and device_get's failure on multi-host
+            # (non-fully-addressable) fsdp-sharded leaves
+            item = jax.tree_util.tree_map(
+                lambda x: np.zeros(x.shape, x.dtype) if isinstance(x, jax.Array) else x,
+                target,
+            )
+            restored = self._ckptr.restore(path / "state", item=item)
         else:
             restored = self._ckptr.restore(path / "state")
             restored = TrainState(**restored) if isinstance(restored, dict) else restored

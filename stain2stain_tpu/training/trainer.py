@@ -217,6 +217,11 @@ class Trainer:
 
     def log_metrics(self, metrics: dict) -> None:
         self.callback_metrics.update({k: float(v) for k, v in metrics.items()})
+        # rank-0-only logger writes (Lightning semantics): metrics are already
+        # globally reduced inside the jitted step, and concurrent writers on a
+        # shared filesystem would race on the same version_N/metrics files
+        if not self.is_global_zero:
+            return
         for logger in self.loggers:
             logger.log_metrics(metrics, self.global_step)
 
@@ -419,10 +424,14 @@ class Trainer:
         # on (the duplicates slightly overweight those examples *within* the
         # final batch's mean; across batches the real count reweights, see
         # _run_eval).
-        n_dev = self.mesh.devices.size
+        # Each host holds only ITS shard of the global batch, so the local
+        # array must divide by this host's device count, not the global one
+        # (dividing by the global count would pad/duplicate every multi-host
+        # batch — 2x compute and skewed means).
+        n_local_dev = max(1, self.mesh.devices.size // jax.process_count())
         local = arrays[0].shape[0]
-        if local % n_dev:
-            pad = n_dev - (local % n_dev)
+        if local % n_local_dev:
+            pad = n_local_dev - (local % n_local_dev)
             idx = np.concatenate([np.arange(local), np.arange(pad) % local])
             arrays = tuple(a[idx] for a in arrays)
         return shard_batch(self.mesh, arrays), local
@@ -502,6 +511,7 @@ class Trainer:
                 # still happen; monitors are absent so nothing acts on them).
                 if ran_val or val_loader is None:
                     self._epoch_end_control_flow(task)
+                    self._val_ran = ran_val  # callbacks skip val-only work
                     for cb in self.callbacks:
                         cb.on_validation_epoch_end(self, task)
                 if self.max_steps > 0 and self.global_step >= self.max_steps:
@@ -556,7 +566,7 @@ class Trainer:
                     break
             return len(queue)
 
-        n_dev = self.mesh.devices.size
+        n_local_dev = max(1, self.mesh.devices.size // jax.process_count())
         i = 0  # executed train batches this epoch
         while i < n_batches:
             # Steps until the next host-sync boundary (epoch end, mid-epoch
@@ -568,7 +578,9 @@ class Trainer:
             else:
                 k = 1
             if val_every:
-                k = max(1, min(k, val_every - (self.global_step % val_every)))
+                # Lightning counts the interval within the epoch, not across
+                # epochs: batch 10 of EVERY epoch for val_check_interval=10.
+                k = max(1, min(k, val_every - (i % val_every)))
             if self.max_steps > 0:
                 k = max(1, min(k, self.max_steps - self.global_step))
             avail = pull(k)
@@ -582,14 +594,15 @@ class Trainer:
                 # (ragged finals take the padded single-step path instead).
                 # Shape probe first — only convert fields for eligible chunks.
                 leads = [task.device_fields(b)[0].shape[0] for b in queue[:k]]
-                if leads[0] % n_dev:
+                if leads[0] % n_local_dev:
                     use_chunk = False
                     if not self._warned_unchainable:
                         self._warned_unchainable = True
                         log.warning(
                             f"steps_per_execution={self.steps_per_execution} cannot "
-                            f"engage: batch size {leads[0]} is not divisible by "
-                            f"{n_dev} devices; dispatching single steps."
+                            f"engage: local batch size {leads[0]} is not divisible "
+                            f"by the host's {n_local_dev} devices; dispatching "
+                            "single steps."
                         )
                 elif any(lead != leads[0] for lead in leads):
                     use_chunk = False
@@ -630,13 +643,19 @@ class Trainer:
                     elapsed = time.perf_counter() - t0
                 bookkeep(metrics, elapsed)
                 i += 1
-            if val_every and self.global_step % val_every == 0 and i < n_batches:
+            if val_every and i % val_every == 0 and i < n_batches:
                 # mid-epoch validation (val_check_interval), checkpoint/early-
                 # stop callbacks fire on it like an epoch-end validation
                 self._run_eval(val_loader, prefix="val")
                 self._track_best(task)
+                self._val_ran = True
                 for cb in self.callbacks:
                     cb.on_validation_epoch_end(self, task)
+            if self.should_stop:
+                # EarlyStopping from a mid-epoch validation (incl. the
+                # non-finite check) must halt at the batch boundary, not
+                # after the rest of the epoch runs on diverged weights
+                break
             if self.max_steps > 0 and self.global_step >= self.max_steps:
                 break
         means = {f"train/{k}": float(np.mean([np.asarray(v) for v in vs])) for k, vs in epoch_metrics.items()}
@@ -767,6 +786,13 @@ class Trainer:
             "scheduler": self._scheduler.state_dict() if self._scheduler else {},
             "base_lr": self._base_lr,
             "callbacks": {type(cb).__name__: cb.state_dict() for cb in self.callbacks},
+            # the trainer RNG advances outside the step counter too (e.g. one
+            # next_rng() per image-logging validation) — exact resume needs
+            # the key itself, not just the seed
+            "rng": {
+                "impl": self.prng_impl,
+                "data": np.asarray(jax.random.key_data(self._rng)).tolist(),
+            },
         }
         self._ckpt_io.save(path, self.state, meta)
 
@@ -781,6 +807,12 @@ class Trainer:
         self._base_lr = meta.get("base_lr", self._base_lr)
         if self._scheduler is not None and meta.get("scheduler"):
             self._scheduler.load_state_dict(meta["scheduler"])
+        rng_meta = meta.get("rng")
+        if rng_meta and rng_meta.get("impl") == self.prng_impl:
+            self._rng = jax.random.wrap_key_data(
+                jnp.asarray(np.array(rng_meta["data"], dtype=np.uint32)),
+                impl=self.prng_impl,
+            )
         for cb in self.callbacks:
             cb.load_state_dict(meta.get("callbacks", {}).get(type(cb).__name__, {}))
         log.info(f"Restored checkpoint from {path} (epoch {self.current_epoch})")
