@@ -204,13 +204,20 @@ def _compose_group_file(config_dir: Path, group: str, option: str, seen: tuple =
             continue
         else:
             sub_group = e.group if e.group else group
-            try:
-                sub_cfg, sub_pkg = _compose_group_file(config_dir, sub_group, str(e.option), seen + (key,))
-            except ComposeError:
-                if e.optional:
+            if _find_option_file(config_dir, sub_group, str(e.option)) is None:
+                # Relative `- default` style entries resolve within the same
+                # dir; `optional` suppresses MISSING files only — errors
+                # inside a file that exists must surface, not silently
+                # compose a sibling (Hydra semantics).
+                if _find_option_file(config_dir, group, str(e.option)) is not None:
+                    sub_group = group
+                elif e.optional:
                     continue
-                # Relative `- default` style entries resolve within the same dir.
-                sub_cfg, sub_pkg = _compose_group_file(config_dir, group, str(e.option), seen + (key,))
+                else:
+                    raise ComposeError(
+                        f"Config group option not found: {sub_group}={e.option}"
+                    )
+            sub_cfg, sub_pkg = _compose_group_file(config_dir, sub_group, str(e.option), seen + (key,))
             # Relative siblings inherit the parent file's package placement
             # (e.g. debug/fdr -> debug/default, both @package _global_).
             cfg.merge(sub_cfg)
@@ -264,6 +271,10 @@ def compose(
         else:
             choices[e.group] = e.option
             order.append(e.group)
+    if "_self_" not in order:
+        # Hydra's implicit _self_: a root config without one still merges its
+        # own body (after the defaults, so the body wins — OmegaConf order)
+        order.append("_self_")
     # CLI can introduce groups not present in the root defaults list; they
     # compose after everything declared there.
     for g in ovr.choices:
@@ -279,6 +290,13 @@ def compose(
         if g in _GLOBAL_OVERLAY_GROUPS and effective.get(g):
             overlay_choices = _collect_choice_overrides(config_dir, g, str(effective[g]))
             for grp, opt in overlay_choices.items():
+                if grp not in choices and grp not in ovr.choices:
+                    raise ComposeError(
+                        f"Overlay '{g}={effective[g]}' overrides group '{grp}' "
+                        f"which is not in the root defaults list (Hydra errors "
+                        f"here too; add '- {grp}: ...' to the root config or "
+                        f"select it on the CLI)"
+                    )
                 if grp not in ovr.choices:
                     effective[grp] = opt
 

@@ -73,15 +73,23 @@ def instantiate(config: Any, *args: Any, **kwargs: Any) -> Any:
     target = config["_target_"]
     partial = bool(config.get("_partial_", False))
     recursive = bool(config.get("_recursive_", True))
-    positional = list(config.get("_args_", []) or []) + list(args)
+    # positional entries recurse like kwargs do (nested _target_ configs
+    # instantiate; hydra parity)
+    positional = [
+        _resolve_node(v, True) for v in (config.get("_args_", []) or [])
+    ] + list(args)
 
     call_kwargs: dict = {}
     for key in config:
         if key in ("_target_", "_partial_", "_recursive_", "_args_", "_convert_"):
             continue
         raw = config.get_raw(key)
-        if raw == MISSING and key not in kwargs:
-            raise InstantiationError(f"Missing mandatory value for '{key}' in _target_={target}")
+        if raw == MISSING:
+            if key not in kwargs:
+                raise InstantiationError(
+                    f"Missing mandatory value for '{key}' in _target_={target}"
+                )
+            continue  # the caller supplies it — resolving '???' would raise
         call_kwargs[key] = _resolve_node(config[key], recursive)
     call_kwargs.update(kwargs)
 

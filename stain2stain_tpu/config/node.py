@@ -51,8 +51,16 @@ class Config:
     # -- construction helpers -------------------------------------------------
     def _wrap(self, value: Any) -> Any:
         if isinstance(value, Config):
-            object.__setattr__(value, "_root", self._root_node())
-            return value
+            # Deep-copy + re-root the whole subtree: mutating the incoming
+            # node's root in place would corrupt resolution in its SOURCE
+            # tree, and re-rooting only the top node would leave descendants
+            # interpolating against the old tree.
+            import copy as _copy
+
+            sub = Config()
+            object.__setattr__(sub, "_data", _copy.deepcopy(value._data))
+            sub._rebind_root(self._root_node())
+            return sub
         if isinstance(value, Mapping):
             return Config(value, _root=self._root_node())
         if isinstance(value, list):
@@ -126,7 +134,11 @@ class Config:
             return val
         if expr.startswith("hydra:") or expr.startswith("runtime:"):
             # Runtime keys are injected under ``runtime.*`` by the entrypoint.
+            # Accept both this module's short form (${hydra:output_dir}) and
+            # verbatim reference syntax (${hydra:runtime.output_dir}).
             key = expr.split(":", 1)[1].replace(":", ".")
+            if key.startswith("runtime."):
+                key = key[len("runtime."):]
             return self._root_node()._select(f"runtime.{key}", _stack + (expr,))
         return self._root_node()._select(expr, _stack + (expr,))
 
@@ -162,7 +174,28 @@ class Config:
     def __setitem__(self, key: str, value: Any) -> None:
         if isinstance(key, str) and "." in key:
             head, rest = key.split(".", 1)
-            if head not in self._data or not isinstance(self._data[head], Config):
+            existing = self._data.get(head)
+            if isinstance(existing, list):
+                # list element update (OmegaConf semantics: a.layers.0=99)
+                idx_s, _, tail = rest.partition(".")
+                idx = int(idx_s)
+                if tail:
+                    if not isinstance(existing[idx], Config):
+                        raise KeyError(
+                            f"cannot set '{key}': list element {idx} is not a mapping"
+                        )
+                    existing[idx][tail] = value
+                else:
+                    existing[idx] = self._wrap(value)
+                return
+            if existing is not None and not isinstance(existing, Config):
+                # silently replacing a scalar intermediate with an empty
+                # mapping would destroy data on a typo'd override
+                raise KeyError(
+                    f"cannot set '{key}': '{head}' holds a {type(existing).__name__}, "
+                    "not a mapping"
+                )
+            if existing is None:
                 self._data[head] = Config(_root=self._root_node())
             self._data[head][rest] = value
         else:
@@ -198,6 +231,8 @@ class Config:
         self[key] = value
 
     def __contains__(self, key: str) -> bool:
+        if not isinstance(key, str):
+            return key in self._data
         if "." in key:
             head, rest = key.split(".", 1)
             return head in self._data and isinstance(self._data[head], Config) and rest in self._data[head]
@@ -245,7 +280,7 @@ class Config:
             if default:
                 return default[0]
             raise
-        del self._data[key]
+        del self[key]
         return val
 
     def setdefault(self, key: str, value: Any) -> Any:

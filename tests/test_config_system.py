@@ -264,3 +264,78 @@ def test_instantiate_nested_targets():
 
 def test_instantiate_none_passthrough():
     assert instantiate(None) is None
+
+
+def test_root_without_self_merges_body(tmp_path):
+    """Hydra's implicit _self_: a root config with a defaults list but no
+    _self_ entry still merges its own body (review r3 — it was dropped)."""
+    (tmp_path / "g").mkdir()
+    (tmp_path / "g" / "a.yaml").write_text("x: 1\n")
+    (tmp_path / "root.yaml").write_text("defaults:\n  - g: a\ntop: 42\n")
+    cfg = compose(tmp_path, "root")
+    assert cfg["top"] == 42 and cfg["g"]["x"] == 1
+
+
+def test_instantiate_mandatory_supplied_by_kwargs():
+    from stain2stain_tpu.config import instantiate
+    from stain2stain_tpu.config.node import Config
+
+    out = instantiate(Config({"_target_": "builtins.dict", "a": "???"}), a=5)
+    assert out == {"a": 5}
+
+
+def test_instantiate_recurses_into_positional_args():
+    from stain2stain_tpu.config import instantiate
+    from stain2stain_tpu.config.node import Config
+
+    cfg = Config({"_target_": "builtins.list",
+                  "_args_": [[{"_target_": "builtins.int", "_args_": ["7"]}]]})
+    assert instantiate(cfg) == [7]
+
+
+def test_config_pop_dotted_and_int_contains():
+    from stain2stain_tpu.config.node import Config
+
+    c = Config({"a": {"b": 1}, 0: "x"})
+    assert c.pop("a.b", 99) == 1
+    assert "b" not in c["a"]
+    assert 0 in c  # int keys (class-id maps) must not TypeError
+
+
+def test_hydra_runtime_interpolation_reference_syntax():
+    from stain2stain_tpu.config.node import Config
+
+    c = Config({"runtime": {"output_dir": "/out"},
+                "a": "${hydra:runtime.output_dir}", "b": "${hydra:output_dir}"})
+    assert c["a"] == "/out" and c["b"] == "/out"
+
+
+def test_dotted_override_updates_list_element():
+    from stain2stain_tpu.config.node import Config
+
+    c = Config({"a": {"layers": [1, 2, 3]}})
+    c["a.layers.0"] = 99
+    assert c["a"]["layers"] == [99, 2, 3]
+    with pytest.raises(KeyError):
+        c["a.layers.0.x"] = 1  # scalar element is not a mapping
+
+
+def test_overlay_override_of_absent_group_errors(tmp_path):
+    (tmp_path / "experiment").mkdir()
+    (tmp_path / "experiment" / "e.yaml").write_text(
+        "# @package _global_\ndefaults:\n  - override /logger: csv\n"
+    )
+    (tmp_path / "root.yaml").write_text("defaults:\n  - _self_\n  - experiment: null\n")
+    with pytest.raises(ComposeError, match="not in the root defaults list"):
+        compose(tmp_path, "root", ["experiment=e"])
+
+
+def test_subtree_assignment_rebinds_interpolations():
+    from stain2stain_tpu.config.node import Config
+
+    src = Config({"paths": {"root": "/SRC"}, "model": {"net": {"dir": "${paths.root}/net"}}})
+    dst = Config({"paths": {"root": "/DST"}})
+    dst["model"] = src.get_raw("model")
+    assert dst["model"]["net"]["dir"] == "/DST/net"
+    # and the source tree is untouched
+    assert src["model"]["net"]["dir"] == "/SRC/net"
