@@ -99,9 +99,12 @@ def run(mode: str) -> None:
     if not cfg.pop("attention", True):
         import stain2stain_tpu.models.unet as unet_mod
 
-        # attention_resolutions="" — build() hardcodes "16,8"; patch the
-        # module's resolver so the mid block skips attention too.
+        # Kill ALL attention: the level resolver AND the head count (the mid
+        # block attends unconditionally, ADM-style, so patching only the
+        # resolver left the ~2 ms mid attention in place — the round-3
+        # nodrop_na row measured nodrop twice).
         unet_mod.UNetModel._attention_ds = lambda self: ()
+        unet_mod.UNetModel._num_heads_for = lambda self, chans: 0
     result = bench.measure_train(256, (32,), **cfg)
     print(f"ABLATION {mode}: {result}", flush=True)
 

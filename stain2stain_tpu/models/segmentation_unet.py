@@ -32,8 +32,12 @@ class SegmentationUNet(nn.Module):
             x = DoubleConv(feat, self.norm, self.dtype, name=f"enc_{i}")(x, train=train)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = DoubleConv(self.features[-1] * 2, self.norm, self.dtype, name="bottleneck")(x, train=train)
-        for i, (feat, skip) in enumerate(zip(reversed(self.features), reversed(skips))):
+        # bilinear=True halves the doubled widths (ref segmentation_unet.py:
+        # factor=2 -> down4 = features[3]*2//2 and up_k out = features[k]//2,
+        # with the last up staying at features[0])
+        x = DoubleConv(self.features[-1], self.norm, self.dtype, name="bottleneck")(x, train=train)
+        dec_feats = [f // 2 for f in reversed(self.features[1:])] + [self.features[0]]
+        for i, (feat, skip) in enumerate(zip(dec_feats, reversed(skips))):
             x = Up(feat, self.norm, self.dtype, name=f"dec_{i}")(x, skip, train=train)
         logits = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="outc")(x)
         return logits.astype(jnp.float32)

@@ -25,22 +25,22 @@ from stain2stain_tpu.ops.time_embedding import timestep_embedding_sincos
 
 
 class Norm2d(nn.Module):
-    """Selectable GroupNorm (TPU default) or BatchNorm (reference parity)."""
+    """Selectable GroupNorm (TPU default) or BatchNorm (reference parity).
+
+    BatchNorm stats need no axis_name here: under jit the batch axis spans
+    the whole mesh, so jnp means over it are already GLOBAL — sync-BN (the
+    reference's ddp.yaml:9) falls out of the sharding."""
 
     norm: str = "group"
-    axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         if self.norm == "batch":
-            return nn.BatchNorm(
-                use_running_average=not train,
-                axis_name=self.axis_name if train else None,
-                dtype=jnp.float32,
-            )(x)
-        groups = min(32, x.shape[-1])
-        return nn.GroupNorm(num_groups=groups, dtype=jnp.float32)(x)
+            return nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        from .unet import _gn_groups
+
+        return nn.GroupNorm(num_groups=_gn_groups(x.shape[-1]), dtype=jnp.float32)(x)
 
 
 class DoubleConv(nn.Module):

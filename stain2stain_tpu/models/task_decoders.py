@@ -7,9 +7,12 @@ the UNet up-path: 2× upsample → concat skip → DoubleConv, then a 1×1 out c
 Time conditioning matches the reference: t-emb → SiLU MLP → linear projection
 to bottleneck channels, **added** per-channel to the bottleneck.
 
-Upsampling uses bilinear resize (the reference's ``bilinear=True`` default);
-with power-of-two tile sizes the pad-to-match branch of the reference is a
-no-op, so shapes always align statically here.
+Upsampling is bilinear with ``align_corners=True`` grid semantics — the
+reference's ``nn.Upsample(mode="bilinear", align_corners=True)``
+(task_decoders.py:34). ``jax.image.resize`` has no align_corners mode (it is
+half-pixel only), so the separable corner-aligned interpolation is built from
+two 1-D lerps. With power-of-two tile sizes the pad-to-match branch of the
+reference is a no-op, so shapes always align statically here.
 """
 
 from __future__ import annotations
@@ -23,9 +26,26 @@ from flax import linen as nn
 from .shared_encoder import DoubleConv
 
 
+def _interp_axis_align_corners(x: jax.Array, axis: int, out_len: int) -> jax.Array:
+    """1-D linear interpolation along ``axis`` with corner-aligned sampling:
+    out[o] samples input at o*(in-1)/(out-1) (torch align_corners=True)."""
+    in_len = x.shape[axis]
+    if in_len == 1:
+        return jnp.repeat(x, out_len, axis=axis)
+    src = jnp.linspace(0.0, in_len - 1.0, out_len)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_len - 1)
+    w = (src - lo).astype(x.dtype)
+    shape = [1] * x.ndim
+    shape[axis] = out_len
+    w = w.reshape(shape)
+    return jnp.take(x, lo, axis=axis) * (1 - w) + jnp.take(x, hi, axis=axis) * w
+
+
 def _upsample_bilinear(x: jax.Array) -> jax.Array:
-    batch, height, width, chans = x.shape
-    return jax.image.resize(x, (batch, height * 2, width * 2, chans), method="linear")
+    _, height, width, _ = x.shape
+    x = _interp_axis_align_corners(x, 1, height * 2)
+    return _interp_axis_align_corners(x, 2, width * 2)
 
 
 class Up(nn.Module):

@@ -140,22 +140,23 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     def _fused_enabled(self, x: jax.Array) -> bool:
+        if not self.fused_conv:  # None/False: measured slower than XLA's
+            return False  # conv bwd (scripts/fused_conv_bench.py); opt-in only
+        if (
+            self.up
+            or self.down
+            or not self.use_scale_shift_norm
+            or self.dtype != jnp.bfloat16
+            or jax.default_backend() != "tpu"
+        ):
+            return False
         in_ch = x.shape[-1]
-        shapes_ok = pallas_conv.supported(
+        return pallas_conv.supported(
             x.shape, (3, 3, in_ch, self.out_channels)
         ) and pallas_conv.supported(
             (*x.shape[:3], self.out_channels),
             (3, 3, self.out_channels, self.out_channels),
         )
-        eligible = (
-            not (self.up or self.down)
-            and self.use_scale_shift_norm
-            and self.dtype == jnp.bfloat16
-            and shapes_ok
-        )
-        if self.fused_conv is None:
-            return False  # measured slower than XLA's conv bwd; opt-in only
-        return self.fused_conv and eligible and jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False) -> jax.Array:
@@ -259,6 +260,11 @@ class AttentionBlock(nn.Module):
         from stain2stain_tpu.ops.pallas_attention import attention
 
         batch, height, width, chans = x.shape
+        if chans % self.num_heads:
+            raise ValueError(
+                f"attention channels {chans} not divisible by num_heads="
+                f"{self.num_heads} (ADM asserts the same)"
+            )
         head_dim = chans // self.num_heads
         h = FusedGroupNorm(name="norm")(x).astype(self.dtype)
         h = h.reshape(batch, height * width, chans)
@@ -488,9 +494,10 @@ class _MidBlocks(nn.Module):
             dtype=self.dtype,
         )
         h = ResBlock(h.shape[-1], name="res_0", **kw)(h, emb, train)
-        h = AttentionBlock(
-            self.heads, dtype=self.dtype, use_fused=self.fused_attention, name="attn"
-        )(h)
+        if self.heads > 0:  # heads=0 disables attention (ablation harnesses)
+            h = AttentionBlock(
+                self.heads, dtype=self.dtype, use_fused=self.fused_attention, name="attn"
+            )(h)
         h = ResBlock(h.shape[-1], name="res_1", **kw)(h, emb, train)
         return h
 
@@ -642,8 +649,6 @@ class UNetModel(nn.Module):
                 upsample="none" if level == n_levels - 1 else resample,
                 name=f"up_{level}",
             )(h, level_skips, emb, train)
-            if level != n_levels - 1:
-                ds //= 2
 
         assert not skips, "skip bookkeeping mismatch"
         out_ch = self.out_channels if self.out_channels is not None else self.dim[0]

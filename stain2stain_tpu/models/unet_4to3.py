@@ -23,7 +23,10 @@ class UNet4to3(nn.Module):
     num_channels: int = 128
     num_res_blocks: int = 2
     channel_mult: Sequence[int] = (1, 2, 2, 4)
-    attention_resolutions: Any = "16"
+    # raw downsample rates, matching the reference wrapper's (16, 8) default
+    # (unet_4to3.py:22 passes them straight to guided-diffusion UNetModel,
+    # where ds=8 attends at level 3) — NOT the "16,8" string convention
+    attention_resolutions: Any = (16, 8)
     dropout: float = 0.0
     num_heads: int = 4
     num_head_channels: int = -1

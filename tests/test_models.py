@@ -252,3 +252,36 @@ def test_unet_512_train_step_compiles_cpu():
 
     compiled = jax.jit(jax.grad(loss), device=cpu).lower(variables).compile()
     assert compiled is not None
+
+
+def test_upsample_bilinear_matches_torch_align_corners():
+    """The decoders' 2x upsample must match the reference's
+    nn.Upsample(mode='bilinear', align_corners=True) exactly (review r3:
+    jax.image.resize is half-pixel — every pixel differed)."""
+    torch = pytest.importorskip("torch")
+    from stain2stain_tpu.models.task_decoders import _upsample_bilinear
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 5, 7, 3)).astype(np.float32)
+    ours = np.asarray(_upsample_bilinear(jnp.asarray(x)))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=2,
+        mode="bilinear", align_corners=True,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_segmentation_unet_reference_widths():
+    """bilinear=True halves the doubled widths (ref segmentation_unet.py:
+    factor=2): bottleneck 512 and decoder 256/128/64/64 for the default
+    [64,128,256,512] features."""
+    from stain2stain_tpu.models import SegmentationUNet
+
+    net = SegmentationUNet(in_channels=3, out_channels=1)
+    variables = net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    params = variables["params"]
+    assert params["bottleneck"]["conv_1"]["kernel"].shape[-1] == 512
+    for i, want in enumerate([256, 128, 64, 64]):
+        assert params[f"dec_{i}"]["conv"]["conv_1"]["kernel"].shape[-1] == want
+    out = net.apply(variables, jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 32, 32, 1)
