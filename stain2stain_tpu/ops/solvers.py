@@ -13,12 +13,33 @@ single integration step from t=0 to t=1.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 VelocityFn = Callable[[jax.Array, jax.Array], jax.Array]  # (t scalar, x) -> dx/dt
+
+
+@functools.lru_cache(maxsize=1)
+def _host_callbacks_supported() -> bool:
+    """Whether the runtime implements host send/recv callbacks.
+
+    Some PJRT runtimes (e.g. the axon dev-tunnel TPU client) raise
+    UNIMPLEMENTED at *execution* time for any program containing
+    ``jax.debug.print``/``callback``, so the dopri5 non-convergence warning
+    must be compiled out there. Probed once with a silent no-op callback.
+    """
+    try:
+        def probe(x):
+            jax.debug.callback(lambda v: None, x)
+            return x
+
+        jax.block_until_ready(jax.jit(probe)(jnp.zeros(())))
+        return True
+    except Exception:
+        return False
 
 _FIXED_STEP_STAGES = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4}
 
@@ -175,17 +196,19 @@ def odeint_dopri5(
     # Non-convergence is otherwise silent (the loop exits at max_steps with t
     # frozen short of t1 and returns a partially integrated state): surface it
     # loudly — callers jit this, so a device-side print is the available
-    # signal (matches torchdyn, which also cannot raise mid-solve).
-    jax.lax.cond(
-        jnp.abs(t_final - t1) > 1e-6 * jnp.maximum(jnp.abs(span), 1.0),
-        lambda: jax.debug.print(
-            "WARNING: dopri5 stopped at t={t} of {t1} after {n} steps "
-            "(step size collapsed or max_steps hit); result is partially "
-            "integrated",
-            t=t_final, t1=t1, n=n_final,
-        ),
-        lambda: None,
-    )
+    # signal (matches torchdyn, which also cannot raise mid-solve). Compiled
+    # out on runtimes without host callbacks (the probe explains).
+    if _host_callbacks_supported():
+        jax.lax.cond(
+            jnp.abs(t_final - t1) > 1e-6 * jnp.maximum(jnp.abs(span), 1.0),
+            lambda: jax.debug.print(
+                "WARNING: dopri5 stopped at t={t} of {t1} after {n} steps "
+                "(step size collapsed or max_steps hit); result is partially "
+                "integrated",
+                t=t_final, t1=t1, n=n_final,
+            ),
+            lambda: None,
+        )
     return x_final
 
 
