@@ -35,10 +35,17 @@ class SyntheticPairedDataModule(DataModule):
         num_mask_classes: int = 0,
         seed: int = 0,
         pin_memory: bool = False,
+        deterministic: bool = False,
     ):
         # Variant-specific subdirectory: a masked dataset must not collide
         # with a previously generated unmasked one at the same data_dir.
         variant = f"s{tile_size}_m{num_mask_classes if with_mask else 0}_n{n_train}-{n_val}-{n_test}_seed{seed}"
+        if deterministic:
+            # Noise-free control (synthetic.make_tile_pair deterministic=True):
+            # the target is an exact function of the source, so quality
+            # experiments have a perfectly learnable translation.
+            variant += "_det"
+        self.deterministic = deterministic
         self.data_dir = Path(data_dir) / variant
         self.n_train, self.n_val, self.n_test = n_train, n_val, n_test
         self.tile_size = tile_size
@@ -95,6 +102,7 @@ class SyntheticPairedDataModule(DataModule):
                 seed=self.seed,
                 with_mask=self.with_mask,
                 num_mask_classes=self.num_mask_classes,
+                deterministic=self.deterministic,
             )
 
     def setup(self, stage: Optional[str] = None) -> None:

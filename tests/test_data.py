@@ -263,3 +263,28 @@ def test_direction_reference_compat(paired_root, configs_dir):
     np.testing.assert_array_equal(f[1], r[0])
     np.testing.assert_array_equal(f[0], e[0])  # explicit: forward as written
     np.testing.assert_array_equal(f[1], e[1])
+
+
+def test_synthetic_module_deterministic_variant(tmp_path):
+    """deterministic=True yields a separate, exactly-learnable dataset tree
+    (the noise-free quality control; synthetic.make_tile_pair)."""
+    from stain2stain_tpu.data.synthetic_module import SyntheticPairedDataModule
+
+    kw = dict(data_dir=str(tmp_path), n_train=4, n_val=2, n_test=2,
+              tile_size=32, image_size=32, batch_size=2, num_workers=0)
+    det = SyntheticPairedDataModule(deterministic=True, **kw)
+    noisy = SyntheticPairedDataModule(deterministic=False, **kw)
+    assert det.data_dir != noisy.data_dir, "variants must not collide on disk"
+    det.prepare_data()
+    det.setup("fit")
+    batch = next(iter(det.train_dataloader()))
+    assert batch[0].shape == (2, 32, 32, 3)
+    # Regenerating with the same seed is bit-identical (exact function of the
+    # source + seeded structure field).
+    import numpy as np
+
+    again = SyntheticPairedDataModule(deterministic=True, **kw)
+    again.prepare_data()
+    again.setup("fit")
+    batch2 = next(iter(again.train_dataloader()))
+    np.testing.assert_array_equal(np.asarray(batch[0]), np.asarray(batch2[0]))
