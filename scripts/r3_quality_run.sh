@@ -36,7 +36,7 @@ for STEPS in 2 8 50; do
     data=synthetic model=conditional_flow_matching \
     data.tile_size=256 data.image_size=256 data.deterministic=true \
     data.n_train=512 data.n_val=32 data.n_test=32 data.batch_size=16 \
-    data.use_augmentation=false num_steps=$STEPS \
+    data.use_augmentation=false num_steps=$STEPS model.solver.solver=euler \
     extras.print_config=false extras.enforce_tags=false
 done
 
