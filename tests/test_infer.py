@@ -246,3 +246,33 @@ def test_eval_quality_cli_reports_metrics(smoke_ckpt):
     metrics = json.loads(line)
     assert {"ssim", "psnr"} <= set(metrics)
     assert -1.0 <= metrics["ssim"] <= 1.0
+
+
+def test_data_sanity_cli(tmp_path):
+    """The EDA CLI (ref notebooks/eda.ipynb as a tool): green report on a
+    consistent tree, nonzero exit + error entry when referenced files are
+    missing."""
+    from stain2stain_tpu.data.synthetic import generate_paired_dataset
+
+    root = generate_paired_dataset(tmp_path / "ds", n_train=4, n_val=2, n_test=2, size=32)
+    overrides = [
+        "data=paired_data",
+        f"data.data_dir={root}",
+        "data.csv_file_name=metadata.csv",
+        "ckpt_path=unused",
+    ]
+    res = run_cli("data_sanity.py", [], tmp_path, timeout=300, overrides=overrides)
+    assert res.returncode == 0, res.stderr[-2000:]
+    report = json.loads(res.stdout[res.stdout.index("{"):])
+    assert report["rows"] == 8
+    assert set(report["split_counts"]) == {"train", "val", "test"}
+    assert not report["errors"] and not report["missing_files"]
+    assert report["shape_histogram"] == {"32x32": len(report["file_columns"]) * 8} or report["shape_histogram"]
+
+    # break one referenced file -> hard error, nonzero exit
+    victim = next((root / "train").glob("*.png"))
+    victim.unlink()
+    res = run_cli("data_sanity.py", [], tmp_path, timeout=300, overrides=overrides)
+    assert res.returncode != 0
+    report = json.loads(res.stdout[res.stdout.index("{"):])
+    assert report["errors"] and report["missing_files"]
