@@ -19,6 +19,13 @@ Backward is a custom VJP with the flash-attention identities
 dq is per-q-block; dk/dv map every q step onto the same output block and
 accumulate across the (sequential) TPU grid, initialized at the first q step.
 
+The softmax stats m/l are NOT saved as residuals: the backward recomputes the
+logits s from the same q/k anyway, so recomputing m = rowmax(s) and
+l = rowsum(exp(s−m)) there is bit-identical and costs two VPU reductions over
+a block already in VMEM. Saving them as f32 (bh, t, 1) arrays cost 128× their
+size in HBM lane padding (2 MB → 256 MB each at the 256px mid block) — that
+padding alone OOMed the flagship 256px train step at batch 32.
+
 Falls back to the plain einsum path off-TPU (CPU tests / virtual meshes).
 """
 
@@ -54,7 +61,7 @@ def _q_block(t: int, n_logit_bufs: int = 2, cap: int = 512) -> int:
     return qb
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, scale: float):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0].astype(jnp.float32)  # (qb, d)
     k = k_ref[0].astype(jnp.float32)  # (T, d)
     v = v_ref[0].astype(jnp.float32)
@@ -66,23 +73,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, scale: float):
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p / l, v, preferred_element_type=jnp.float32)  # (qb, d)
     o_ref[0] = o.astype(o_ref.dtype)
-    m_ref[0] = m
-    l_ref[0] = l
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, m_ref, l_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float):
     q = q_ref[0].astype(jnp.float32)   # (qb, d)
     k = k_ref[0].astype(jnp.float32)   # (T, d)
     v = v_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)   # (qb, d)
     do = do_ref[0].astype(jnp.float32)
-    m = m_ref[0]                        # (qb, 1)
-    l = l_ref[0]
     s = jax.lax.dot_general(
         q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = jnp.exp(s - m) / l  # (qb, T)
+    # recompute the softmax stats from s — same operands and op order as the
+    # forward, so m/l (and thus p) are bit-identical to the forward's weights
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / l  # (qb, T)
     dv = jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (T, d)
@@ -118,42 +126,31 @@ def _kv_spec(t: int, d: int):
     return pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _stat_spec(qb: int):
-    # trailing singleton keeps the block TPU-tileable
-    return pl.BlockSpec((1, qb, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     """(BH, T, d) q/k/v → (BH, T, d) softmax(q·kᵀ·scale)·v, logits VMEM-only."""
-    out, _, _ = _fwd(q, k, v, scale)
-    return out
+    return _fwd(q, k, v, scale)
 
 
 def _fwd(q, k, v, scale):
     bh, t, d = q.shape
     qb = _q_block(t, n_logit_bufs=2)
-    out, m, l = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
         grid=(bh, t // qb),
         in_specs=[_q_spec(qb, d), _kv_spec(t, d), _kv_spec(t, d)],
-        out_specs=(_q_spec(qb, d), _stat_spec(qb), _stat_spec(qb)),
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, t, 1), jnp.float32),
-            jax.ShapeDtypeStruct((bh, t, 1), jnp.float32),
-        ),
+        out_specs=_q_spec(qb, d),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
     )(q, k, v)
-    return out, m, l
 
 
 def _fused_attention_fwd(q, k, v, scale):
-    out, m, l = _fwd(q, k, v, scale)
-    return out, (q, k, v, out, m, l)
+    out = _fwd(q, k, v, scale)
+    return out, (q, k, v, out)
 
 
 def _fused_attention_bwd(scale, residuals, do):
-    q, k, v, out, m, l = residuals
+    q, k, v, out = residuals
     bh, t, d = q.shape
     qb = _q_block(t, n_logit_bufs=4)
     dq, dk, dv = pl.pallas_call(
@@ -165,8 +162,6 @@ def _fused_attention_bwd(scale, residuals, do):
             _kv_spec(t, d),      # v
             _q_spec(qb, d),      # o
             _q_spec(qb, d),      # do
-            _stat_spec(qb),      # m
-            _stat_spec(qb),      # l
         ],
         out_specs=(_q_spec(qb, d), _kv_spec(t, d), _kv_spec(t, d)),
         out_shape=(
@@ -177,7 +172,7 @@ def _fused_attention_bwd(scale, residuals, do):
             jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
         ),
-    )(q, k, v, out, do, m, l)
+    )(q, k, v, out, do)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
