@@ -33,6 +33,12 @@ MODES = {
     # mask) instead of ops/dropout.py's FastDropout — reproduces the old
     # step time on demand.
     "flaxdrop": dict(dropout=0.1, prng_impl="rbg", flax_dropout=True),
+    # Post-attention-stats-fix probes: dropping the lane-padded m/l residuals
+    # freed ~512 MB at 256px (ops/pallas_attention.py) — re-test the batch-64
+    # operating point that OOMed in rounds 2-3, per-step and chained.
+    "b64": dict(dropout=0.1, prng_impl="rbg", batches=(64, 32)),
+    "chain64": dict(chained=True, batch=64),
+    "gen128": dict(gen=(256, (128, 64), 2)),
 }
 
 
@@ -47,7 +53,12 @@ def run(mode: str) -> None:
 
     cfg = dict(MODES[mode])
     if cfg.pop("chained", False):
-        tiles = bench.measure_train_chained(256, 32)
+        tiles = bench.measure_train_chained(256, cfg.pop("batch", 32))
+        print(f"ABLATION {mode}: {tiles} tiles/s", flush=True)
+        return
+    if "gen" in cfg:
+        size, batches, n_steps = cfg.pop("gen")
+        tiles = bench.measure_generate(size, batches, num_steps=n_steps)
         print(f"ABLATION {mode}: {tiles} tiles/s", flush=True)
         return
     if cfg.pop("optonly", False):
@@ -105,7 +116,8 @@ def run(mode: str) -> None:
         # nodrop_na row measured nodrop twice).
         unet_mod.UNetModel._attention_ds = lambda self: ()
         unet_mod.UNetModel._num_heads_for = lambda self, chans: 0
-    result = bench.measure_train(256, (32,), **cfg)
+    batches = cfg.pop("batches", (32,))
+    result = bench.measure_train(256, batches, **cfg)
     print(f"ABLATION {mode}: {result}", flush=True)
 
 
