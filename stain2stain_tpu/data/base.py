@@ -158,11 +158,13 @@ class DataLoader:
             return self.global_batch_size
         return max(1, min(self.global_batch_size, n - b * self.global_batch_size))
 
-    def __iter__(self) -> Iterator[tuple]:
+    def _local_batches(self) -> list[np.ndarray]:
+        """This process's per-batch index arrays for the current epoch —
+        the single source of ordering/sharding truth, shared with the
+        device-cached loader so both yield identical example streams."""
         indices = self._epoch_indices()
-        n_batches = len(self)
         batches: list[np.ndarray] = []
-        for b in range(n_batches):
+        for b in range(len(self)):
             chunk = indices[b * self.global_batch_size : (b + 1) * self.global_batch_size]
             if self.num_shards > 1 and len(chunk) % self.num_shards:
                 # Ragged final global batch (eval, drop_last=False): pad to a
@@ -173,8 +175,11 @@ class DataLoader:
                 pad = self.num_shards - len(chunk) % self.num_shards
                 chunk = np.concatenate([chunk, chunk[np.arange(pad) % len(chunk)]])
             # This process's shard of the global batch.
-            local = chunk[self.shard_index :: self.num_shards]
-            batches.append(local)
+            batches.append(chunk[self.shard_index :: self.num_shards])
+        return batches
+
+    def __iter__(self) -> Iterator[tuple]:
+        batches = self._local_batches()
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_factor)
         stop = threading.Event()

@@ -109,8 +109,13 @@ class PairedHEIHCDataModule(DataModule):
         pin_memory: bool = True,
         seed: int = 0,
         prefetch_factor: int = 2,
+        cache: Optional[str] = None,
     ):
         import jax
+
+        from .device_cache import resolve_loader_class
+
+        self._loader_cls = resolve_loader_class(cache)
 
         self.data_dir = data_dir
         self.csv_file_name = csv_file_name
@@ -151,7 +156,7 @@ class PairedHEIHCDataModule(DataModule):
         ds = self.datasets.get(folder)
         if ds is None or len(ds) == 0:
             return None
-        return DataLoader(
+        return self._loader_cls(
             ds,
             batch_size=self.batch_size,
             shuffle=shuffle,

@@ -206,6 +206,7 @@ class PairedDataModule(DataModule):
         seed: int = 0,
         prefetch_factor: int = 2,
         direction_compat: str = "reference",
+        cache: Optional[str] = None,
     ):
         # snapshot BEFORE any imports so hparams holds only ctor args
         self.hparams = {k: v for k, v in locals().items() if k != "self"}
@@ -223,6 +224,9 @@ class PairedDataModule(DataModule):
         self.load_size = load_size
         self.seed = seed
         self.prefetch_factor = prefetch_factor
+        from .device_cache import resolve_loader_class
+
+        self._loader_cls = resolve_loader_class(cache)
         self.num_shards = jax.process_count()
         self.shard_index = jax.process_index()
         self.datasets: dict[str, PairedDataset] = {}
@@ -262,7 +266,9 @@ class PairedDataModule(DataModule):
         ds = self.datasets.get(folder)
         if ds is None or len(ds) == 0:
             return None
-        return DataLoader(
+        # cache="device": decode-once HBM-resident dataset, batches are device
+        # gathers (data/device_cache.py — falls back to streaming multi-process)
+        return self._loader_cls(
             ds,
             batch_size=self.batch_size,
             shuffle=shuffle,

@@ -122,9 +122,13 @@ class PairedMulticlassDataModule(DataModule):
         seed: int = 0,
         prefetch_factor: int = 2,
         direction_compat: str = "reference",
+        cache: Optional[str] = None,
     ):
         import jax
 
+        from .device_cache import resolve_loader_class
+
+        self._loader_cls = resolve_loader_class(cache)
         self.direction_compat = direction_compat
         self.data_dir = data_dir
         self.csv_file_name = csv_file_name
@@ -175,7 +179,7 @@ class PairedMulticlassDataModule(DataModule):
         ds = self.datasets.get(folder)
         if ds is None or len(ds) == 0:
             return None
-        return DataLoader(
+        return self._loader_cls(
             ds,
             batch_size=self.batch_size,
             shuffle=shuffle,

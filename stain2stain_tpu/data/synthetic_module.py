@@ -36,6 +36,7 @@ class SyntheticPairedDataModule(DataModule):
         seed: int = 0,
         pin_memory: bool = False,
         deterministic: bool = False,
+        cache: Optional[str] = None,
     ):
         # Variant-specific subdirectory: a masked dataset must not collide
         # with a previously generated unmasked one at the same data_dir.
@@ -61,6 +62,7 @@ class SyntheticPairedDataModule(DataModule):
             num_workers=num_workers,
             image_size=image_size,
             seed=seed,
+            cache=cache,
         )
         if with_mask and num_mask_classes > 1:
             self._inner = PairedMulticlassDataModule(

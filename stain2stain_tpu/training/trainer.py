@@ -417,7 +417,12 @@ class Trainer:
 
     def _device_batch(self, task, batch: tuple):
         """Returns (sharded batch, real example count before padding)."""
-        arrays = tuple(np.asarray(a) for a in task.device_fields(batch))
+        # Device-cached loaders (data/device_cache.py) yield jax Arrays that
+        # already live in HBM — np.asarray would round-trip them through host.
+        arrays = tuple(
+            a if isinstance(a, jax.Array) else np.asarray(a)
+            for a in task.device_fields(batch)
+        )
         # Ragged final batches (eval without drop_last) can't shard over the
         # mesh; pad by repeating leading examples — the same duplication
         # semantics as torch's DistributedSampler, which the reference relies
@@ -608,14 +613,22 @@ class Trainer:
                     use_chunk = False
                 else:
                     fields = [
-                        tuple(np.asarray(a) for a in task.device_fields(b))
+                        tuple(
+                            a if isinstance(a, jax.Array) else np.asarray(a)
+                            for a in task.device_fields(b)
+                        )
                         for b in queue[:k]
                     ]
             if use_chunk:
                 self._peek_train = queue[k - 1]
                 del queue[:k]
+                # Device-resident fields stack on device (jnp); host batches
+                # stack on host and ship once per chunk.
                 stacked = tuple(
-                    np.stack([f[j] for f in fields]) for j in range(len(fields[0]))
+                    (jnp if isinstance(fields[0][j], jax.Array) else np).stack(
+                        [f[j] for f in fields]
+                    )
+                    for j in range(len(fields[0]))
                 )
                 device_chunk = shard_chunk(self.mesh, stacked)
                 t0 = time.perf_counter() if self.profiler == "simple" else 0.0

@@ -288,3 +288,98 @@ def test_synthetic_module_deterministic_variant(tmp_path):
     again.setup("fit")
     batch2 = next(iter(again.train_dataloader()))
     np.testing.assert_array_equal(np.asarray(batch[0]), np.asarray(batch2[0]))
+
+
+def test_device_cache_loader_matches_streaming(paired_root):
+    """cache='device' yields the SAME example stream as the streaming loader
+    (ordering/shuffle/shard logic is shared via _local_batches), with array
+    fields living on device (data/device_cache.py)."""
+    import jax
+
+    kw = dict(
+        data_dir=str(paired_root), batch_size=2, num_workers=2, image_size=32,
+        use_augmentation=True, load_size=48, seed=3,
+    )
+    stream = PairedDataModule(**kw)
+    cached = PairedDataModule(cache="device", **kw)
+    for dm in (stream, cached):
+        dm.setup("fit")
+    for epoch in (0, 1):
+        s_loader, c_loader = stream.train_dataloader(), cached.train_dataloader()
+        s_loader.set_epoch(epoch)
+        c_loader.set_epoch(epoch)
+        s_batches, c_batches = list(s_loader), list(c_loader)
+        assert len(s_batches) == len(c_batches) > 0
+        for sb, cb in zip(s_batches, c_batches):
+            assert isinstance(cb[0], jax.Array), "cached batches must be device-resident"
+            for sf, cf in zip(sb, cb):
+                np.testing.assert_array_equal(np.asarray(sf), np.asarray(cf))
+    # eval loaders (no shuffle, ragged final batch) match too
+    sv = list(stream.val_dataloader())
+    cv = list(cached.val_dataloader())
+    assert len(sv) == len(cv)
+    for sb, cb in zip(sv, cv):
+        np.testing.assert_array_equal(np.asarray(sb[1]), np.asarray(cb[1]))
+
+
+def test_device_cache_loader_mask_fields(paired_root):
+    """Mask datamodules cache every array field (image, image, mask)."""
+    import jax
+
+    dm = PairedMulticlassDataModule(
+        data_dir=str(paired_root), batch_size=2, num_workers=2, image_size=32,
+        source_column="he_filepath", target_column="ihc_filepath",
+        mask_column="graywhite_filepath", cache="device",
+    )
+    dm.setup("fit")
+    batch = next(iter(dm.train_dataloader()))
+    assert all(isinstance(f, jax.Array) for f in batch[:3])
+    assert batch[2].shape[0] == 2  # class-mask field gathered alongside
+
+
+def test_device_cache_budget_guard(paired_root):
+    from stain2stain_tpu.data.device_cache import DeviceCacheLoader
+
+    dm = PairedDataModule(data_dir=str(paired_root), batch_size=2, image_size=32)
+    dm.setup("fit")
+    loader = DeviceCacheLoader(
+        dm.datasets["train"], batch_size=2, max_cache_bytes=64,
+    )
+    with pytest.raises(ValueError, match="device cache"):
+        next(iter(loader))
+
+
+def test_trainer_fit_with_device_cache(tmp_path):
+    """E2E: a tiny CFM fit + eval on device-cached data, chained dispatch on —
+    exercises the jax-Array passthrough in Trainer._device_batch and the
+    device-side chunk stacking."""
+    from stain2stain_tpu.data.synthetic_module import SyntheticPairedDataModule
+    from stain2stain_tpu.models import UNetModel
+    from stain2stain_tpu.ops.solvers import SolverConfig
+    from stain2stain_tpu.tasks import ConditionalFlowMatchingModule
+    from stain2stain_tpu.training import CSVLogger, ModelCheckpoint, Trainer
+    from stain2stain_tpu.training.optim import Adam
+
+    # batch 8: divisible by the 8-device virtual mesh (S2S_CPU_MESH) so
+    # chained dispatch can engage; 16 examples -> 2 steps/epoch = 1 chunk
+    dm = SyntheticPairedDataModule(
+        data_dir=str(tmp_path / "ds"), n_train=16, n_val=8, n_test=8,
+        tile_size=48, image_size=32, batch_size=8, num_workers=0,
+        use_augmentation=True, cache="device",
+    )
+    net = UNetModel(dim=(3, 32, 32), num_channels=8, num_res_blocks=1,
+                    channel_mult=(1, 2), attention_resolutions="", num_heads=1,
+                    fused_attention=False)
+    task = ConditionalFlowMatchingModule(
+        net=net, optimizer=lambda: Adam(lr=1e-3), solver=SolverConfig("euler")
+    )
+    trainer = Trainer(
+        default_root_dir=str(tmp_path / "logs"), max_epochs=2,
+        steps_per_execution=2,
+        callbacks=[ModelCheckpoint(save_last=True)],
+        logger=CSVLogger(str(tmp_path / "logs")),
+    )
+    trainer.fit(task, dm)
+    assert trainer._chunks_dispatched > 0, "chained dispatch must engage on cached batches"
+    assert "val/loss" in trainer.callback_metrics
+    assert np.isfinite(trainer.callback_metrics["val/loss"])
