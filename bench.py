@@ -7,26 +7,56 @@ the flagship velocity model (configs/model/conditional_flow_matching.yaml
 parity: 128 ch, mult (1,2,2,4), 2 res-blocks, scale-shift norm, ~71M params),
 bf16 compute. Also measured and reported in the same JSON line (``extra``):
 
+- chained-dispatch train tiles/sec (5 steps fused per dispatch — the
+  production trainer/tpu.yaml default, steps_per_execution=5)
 - 2-step generate tiles/sec (the reference's simple-FM / logging setting,
   /root/reference/src/infer_simple_flowmatching.py:34)
-- 512×512 train tiles/sec at the reference's default tile size
+- 50-step generate (the reference's multitask setting,
+  /root/reference/src/infer_multitask_multiclassloss.py:34)
+- 512×512 rows at the reference's default tile size
   (/root/reference/configs/data/paired_data.yaml:8), level-remat UNet
 
-The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
-ratio against an *estimated* PyTorch-on-H100 reference throughput derived from
-the measured XLA FLOP count of this exact step:
+Survivability contract (round-3 post-mortem: the driver killed the run at its
+own wall-clock budget and the headline train row — measured at 48.99 tiles/s
+on this box — was never captured because it ran LAST and the one JSON line
+printed only at the very end):
+
+1. Train rows run FIRST; inference rows after.
+2. A *complete cumulative* JSON result line is printed after EVERY finished
+   measurement (the driver parses the last parseable line of the tail, so
+   each new line supersedes the previous one). A kill at any point keeps
+   everything measured so far.
+3. Total wall-clock is bounded by ``S2S_BENCH_BUDGET_S`` (default 1200 s):
+   remaining rows are *skipped*, never started without enough budget to
+   finish, and fixed sleeps shrink to fit.
+
+Baseline derivation: the reference publishes no numbers (BASELINE.md), so
+``vs_baseline`` is the ratio against an *estimated* PyTorch-on-H100 reference
+throughput derived from the measured XLA FLOP count of this exact step:
 
     h100_tiles/sec = MFU_ref × 989e12 FLOP/s ÷ (step FLOPs / batch)
 
 with MFU_ref = 0.40 (a well-tuned torch/cuDNN mixed-precision UNet train
-loop). The north-star target is ≥ 2× that estimate, i.e. vs_baseline ≥ 2.0.
+loop). The north-star target (≥ 2× that estimate per chip) is not physically
+reachable on a v5e chip for a FLOP-bound model — v5e peaks at 197 bf16
+TFLOP/s, ~1/5 of an H100's 989 — so the JSON also carries the silicon-
+normalized companion:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+    vs_baseline_mfu_normalized = vs_baseline × (989e12 / 197e12)
+                               = (repo tiles/s ÷ v5e peak-bound tiles/s)
+                                 ÷ (est. H100 tiles/s ÷ H100 peak-bound tiles/s)
+                               = achieved MFU ÷ assumed 0.40 torch MFU
+
+i.e. how this framework compares with the torch reference *per unit of peak
+FLOPs bought* — the number that transfers across chip generations. ≥1.0
+means the TPU program is more efficient than the tuned-torch estimate;
+round-3 measured ≈1.58 (63% vs 40% MFU).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -227,10 +257,20 @@ def measure_generate(image_size: int, batch_sizes, num_steps: int):
     return None
 
 
+def _emit(obj) -> None:
+    """Print one (possibly partial) measurement as a JSON line + flush —
+    subprocess stdout is parsed line-by-line by the parent, so every finished
+    measurement survives a mid-mode kill."""
+    print(json.dumps(obj), flush=True)
+
+
 def _run_mode(mode: str) -> None:
-    """Subprocess entry: one measurement per process (device buffers left by
-    a previous measurement otherwise pin HBM and cascade OOMs — each worked
-    standalone, the sequence in one process did not)."""
+    """Subprocess entry: one *shape family* per process (device buffers left
+    by a previous measurement otherwise pin HBM and cascade OOMs — each worked
+    standalone, the sequence in one process did not). Same-shape measurements
+    share a process to amortize the tunnel/compile startup, with a cumulative
+    JSON line after each so a timeout keeps the finished ones."""
+    acc = {}
     if mode == "train256":
         # rbg PRNG = the Trainer's TPU default (threefry dropout masks alone
         # cost ~24%/step; measured 797 -> 681 ms, scripts/step_ablation.py)
@@ -238,26 +278,33 @@ def _run_mode(mode: str) -> None:
         if result is None:
             raise RuntimeError("256px train benchmark OOMed at every batch size")
         batch_size, tiles_per_sec, step_flops, mfu = result
-        print(json.dumps({"batch": batch_size, "tiles": tiles_per_sec,
-                          "flops": step_flops, "mfu": mfu}))
+        acc = {"batch": batch_size, "tiles": tiles_per_sec,
+               "flops": step_flops, "mfu": mfu}
+        _emit(acc)
+        # 5 steps fused per dispatch: the production-faithful number (a real
+        # loop dispatches steps back-to-back; per-step timing pays a ~20-27 ms
+        # tunnel round-trip per step on this box). Same model/batch/shapes as
+        # the per-step row, so sharing the process is HBM-safe.
+        acc["chained_tiles"] = measure_train_chained(256, batch_size, chain=5,
+                                                     prng_impl="rbg")
+        _emit(acc)
     elif mode == "gen256":
+        # 2-step = the reference's simple-FM/logging setting; 50-step = its
+        # multitask inference setting. Same model params, same tile size.
         infer = measure_generate(256, (64, 32, 16, 8), num_steps=2)
-        print(json.dumps({"tiles": infer}))
-    elif mode == "gen256_50":
-        # the reference's multitask inference setting (50 ODE steps,
-        # /root/reference/src/infer_multitask_multiclassloss.py:34)
-        infer = measure_generate(256, (32, 16, 8), num_steps=50)
-        print(json.dumps({"tiles": infer}))
+        if infer:
+            acc["tiles_2step"] = infer
+            _emit(acc)
+        infer50 = measure_generate(256, (32, 16, 8), num_steps=50)
+        if infer50:
+            acc["tiles_50step"] = infer50
+            _emit(acc)
+        if not acc:
+            _emit(None)
     elif mode == "gen512":
         # the reference's default tile size at its simple-FM inference setting
         infer = measure_generate(512, (16, 8, 4), num_steps=2)
-        print(json.dumps({"tiles": infer}))
-    elif mode == "train256_chain":
-        # 5 steps fused per dispatch: the production-faithful number (a real
-        # loop dispatches steps back-to-back; per-step timing pays a ~20-27 ms
-        # tunnel round-trip per step on this box).
-        tiles = measure_train_chained(256, 32, chain=5, prng_impl="rbg")
-        print(json.dumps({"tiles": tiles}))
+        _emit(None if infer is None else {"tiles": infer})
     elif mode == "train512":
         # Pallas attention at 4096 tokens now compiles inside the full 512px
         # program (round-2's remote-helper crash no longer reproduces) and
@@ -266,95 +313,139 @@ def _run_mode(mode: str) -> None:
         # residuals dominate at 512px).
         result = measure_train(512, (4,), use_checkpoint="level", fused_attention=True,
                                prng_impl="rbg")
-        print(json.dumps(None if result is None else
-                         {"batch": result[0], "tiles": result[1], "mfu": result[3]}))
+        _emit(None if result is None else
+              {"batch": result[0], "tiles": result[1], "mfu": result[3]})
     else:
         raise SystemExit(f"unknown bench mode {mode}")
 
 
-def _sub(mode: str, timeout_s: int = 1500, retries: int = 1):
-    """Run one measurement mode in a fresh process; None on any failure.
+def _sub(mode: str, timeout_s: float):
+    """Run one measurement mode in a fresh process; return the LAST parseable
+    JSON line (cumulative within the mode), or None.
 
-    The axon terminal reclaims HBM lazily after a heavy program exits, so a
-    measurement right after another can hit spurious runtime OOMs — on a
-    null/failed result, wait out the reclamation and retry once.
-    """
+    On timeout the partial stdout is still parsed — a mode killed between
+    measurements keeps everything it finished."""
     import subprocess
 
-    for attempt in range(retries + 1):
-        if attempt:
-            print(f"# bench mode {mode}: retrying after HBM reclamation wait", file=sys.stderr)
-            time.sleep(120)
+    stdout, stderr = "", ""
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, mode],
+            capture_output=True, text=True, timeout=max(30, timeout_s),
+        )
+        stdout, stderr = proc.stdout, proc.stderr
+        if proc.returncode != 0:
+            print(f"# bench mode {mode} failed (rc={proc.returncode})", file=sys.stderr)
+    except subprocess.TimeoutExpired as exc:
+        stdout = (exc.stdout or b"").decode() if isinstance(exc.stdout, bytes) else (exc.stdout or "")
+        stderr = (exc.stderr or b"").decode() if isinstance(exc.stderr, bytes) else (exc.stderr or "")
+        print(f"# bench mode {mode} hit its {timeout_s:.0f}s row budget; keeping partial rows",
+              file=sys.stderr)
+    except Exception as exc:
+        print(f"# bench mode {mode} skipped: {str(exc)[:140]}", file=sys.stderr)
+    sys.stderr.write(stderr[-2000:])
+    result = None
+    for line in stdout.splitlines():
+        line = line.strip()
+        if not line.startswith(("{", "null")):
+            continue
         try:
-            proc = subprocess.run(
-                [sys.executable, __file__, mode],
-                capture_output=True, text=True, timeout=timeout_s,
-            )
-            sys.stderr.write(proc.stderr[-2000:])
-            if proc.returncode != 0:
-                print(f"# bench mode {mode} failed (rc={proc.returncode})", file=sys.stderr)
-                continue
-            result = json.loads(proc.stdout.strip().splitlines()[-1])
-            if result and not (isinstance(result, dict) and result.get("tiles") is None):
-                return result
-        except Exception as exc:
-            print(f"# bench mode {mode} skipped: {str(exc)[:140]}", file=sys.stderr)
-    return None
+            parsed = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if parsed is not None:
+            result = parsed
+    return result
 
 
 def main() -> None:
-    # Inference rows FIRST: the generate programs are the smallest, and the
-    # axon terminal reclaims a previous subprocess's HBM lazily — running them
-    # after the 13.5-GiB train step OOMed them out of BENCH_r02 entirely.
-    extra = {}
-    # Cold-cache compiles of the batch-64 generate program exceed 25 min
-    # through the dev tunnel — give generate rows a bigger per-row budget.
-    gen = _sub("gen256", timeout_s=3000)
-    if gen and gen.get("tiles"):
-        extra["infer_2step_tiles_per_sec_256"] = round(gen["tiles"], 2)
-    time.sleep(60)  # let the terminal reclaim the generate buffers
-    gen50 = _sub("gen256_50", timeout_s=2400)
-    if gen50 and gen50.get("tiles"):
-        extra["infer_50step_tiles_per_sec_256"] = round(gen50["tiles"], 2)
-    time.sleep(60)
-    gen512 = _sub("gen512", timeout_s=2400)
-    if gen512 and gen512.get("tiles"):
-        extra["infer_2step_tiles_per_sec_512"] = round(gen512["tiles"], 2)
-    time.sleep(60)
-    train = _sub("train256", timeout_s=2400)
-    if not train:
-        raise RuntimeError("256px train benchmark failed")
-    extra.update({"train_batch_256": train["batch"], "train_mfu_256": round(train["mfu"], 3)})
-    time.sleep(60)
-    chained = _sub("train256_chain", timeout_s=2400)
-    if chained and chained.get("tiles"):
-        extra["train_chained_tiles_per_sec_256"] = round(chained["tiles"], 2)
-    time.sleep(60)
-    # The reference's default 512px operating point: level-remat + Pallas
-    # attention (in-program since round 3) fits the 4x-activation step on one
-    # chip (grad-accum covers larger effective batches). Degrades to a skipped
-    # row if the remote compile helper crashes (infrastructure, not framework).
-    # Cold-cache 512px compiles through the dev tunnel can exceed 20 min
-    # (memory: model-structure changes invalidate every cached program).
-    t512 = _sub("train512", timeout_s=3600)
-    if t512:
-        extra["train_tiles_per_sec_512"] = round(t512["tiles"], 2)
-        extra["train_batch_512"] = t512["batch"]
-        extra["train_mfu_512"] = round(t512["mfu"], 3)
+    t_start = time.monotonic()
+    # Default sized so the two highest-priority modes always finish even cold
+    # (train ~8 min + gen256 ~8 min warm on this box) and the 512px rows get
+    # attempted; a harness that kills earlier still keeps every printed line.
+    budget_s = float(os.environ.get("S2S_BENCH_BUDGET_S", "2100"))
 
-    h100_est = MFU_REF * H100_BF16_FLOPS / (train["flops"] / train["batch"])
-    vs_baseline = train["tiles"] / h100_est if train["flops"] > 0 else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "cfm_train_tiles_per_sec_per_chip_256",
-                "value": round(train["tiles"], 2),
-                "unit": "tiles/sec/chip",
-                "vs_baseline": round(vs_baseline, 3),
-                "extra": extra,
-            }
-        )
-    )
+    def remaining() -> float:
+        return budget_s - (time.monotonic() - t_start)
+
+    headline = {"value": 0.0, "vs_baseline": 0.0}
+    extra = {
+        # silicon context for vs_baseline (see module docstring): the target
+        # chip's peak bf16 FLOP/s and the assumed torch-reference MFU that
+        # vs_baseline_mfu_normalized divides out.
+        "chip_peak_tflops": round(V5E_BF16_FLOPS / 1e12),
+        "baseline_chip_peak_tflops": round(H100_BF16_FLOPS / 1e12),
+        "baseline_assumed_mfu": MFU_REF,
+    }
+
+    def emit() -> None:
+        """Print the full cumulative result line — called after EVERY finished
+        row so the last parseable line always carries everything measured."""
+        print(json.dumps({
+            "metric": "cfm_train_tiles_per_sec_per_chip_256",
+            "value": round(headline["value"], 2),
+            "unit": "tiles/sec/chip",
+            "vs_baseline": round(headline["vs_baseline"], 3),
+            "extra": extra,
+        }), flush=True)
+
+    def pause(seconds: float) -> None:
+        """Bounded HBM-reclamation wait between shape families (the axon
+        terminal frees a dead subprocess's HBM lazily); shrinks under budget
+        pressure rather than eating a row's slot."""
+        time.sleep(max(0.0, min(seconds, remaining() - 150)))
+
+    # ORDER: the headline train rows FIRST (round-3 lesson: the driver's
+    # wall-clock kill must not be able to erase them), then inference, then
+    # the 512px train row (biggest compile, least marginal information).
+    if remaining() > 120:
+        train = _sub("train256", timeout_s=min(900, remaining() - 20))
+        if train and train.get("tiles"):
+            extra["train_batch_256"] = train["batch"]
+            extra["train_mfu_256"] = round(train["mfu"], 3)
+            if train["flops"] > 0:
+                h100_est = MFU_REF * H100_BF16_FLOPS / (train["flops"] / train["batch"])
+                headline["value"] = train["tiles"]
+                headline["vs_baseline"] = train["tiles"] / h100_est
+                # Same throughput ratio with the 5x peak-FLOPs gap between the
+                # chips divided out == achieved MFU / assumed 0.40 torch MFU.
+                extra["vs_baseline_mfu_normalized"] = round(
+                    headline["vs_baseline"] * (H100_BF16_FLOPS / V5E_BF16_FLOPS), 3)
+            if train.get("chained_tiles"):
+                extra["train_chained_tiles_per_sec_256"] = round(train["chained_tiles"], 2)
+            emit()
+        else:
+            print("# train256 produced no rows", file=sys.stderr)
+
+    if remaining() > 180:
+        pause(20)
+        gen = _sub("gen256", timeout_s=min(600, remaining() - 20))
+        if gen:
+            if gen.get("tiles_2step"):
+                extra["infer_2step_tiles_per_sec_256"] = round(gen["tiles_2step"], 2)
+            if gen.get("tiles_50step"):
+                extra["infer_50step_tiles_per_sec_256"] = round(gen["tiles_50step"], 2)
+            emit()
+
+    if remaining() > 180:
+        pause(20)
+        gen512 = _sub("gen512", timeout_s=min(600, remaining() - 20))
+        if gen512 and gen512.get("tiles"):
+            extra["infer_2step_tiles_per_sec_512"] = round(gen512["tiles"], 2)
+            emit()
+
+    if remaining() > 240:
+        pause(20)
+        t512 = _sub("train512", timeout_s=remaining() - 20)
+        if t512 and t512.get("tiles"):
+            extra["train_tiles_per_sec_512"] = round(t512["tiles"], 2)
+            extra["train_batch_512"] = t512["batch"]
+            extra["train_mfu_512"] = round(t512["mfu"], 3)
+            emit()
+
+    # Always end with one final (possibly identical) line so a clean exit is
+    # guaranteed to have produced parseable output even if every row failed.
+    emit()
 
 
 if __name__ == "__main__":
