@@ -40,6 +40,22 @@ MODES = {
                         fused_attention=True, prng_impl="rbg"),
     "drop_lvl_b6": dict(batch_sizes=(6,), use_checkpoint="level",
                         fused_attention=True, prng_impl="rbg"),
+    # Round-4 probes (VERDICT ask #3: push 512px past 45% MFU). The round-2
+    # "no-remat OOMs at 512px" conclusion PREDATES the fused-norm residual fix
+    # (f32 GroupNorm residuals were the OOM cause, docs/architecture.md):
+    # batch-4 no-remat activations are ~half the 256px batch-32 footprint that
+    # fits, so remat may no longer be needed at all.
+    "noremat_b4": dict(batch_sizes=(4,), use_checkpoint=False,
+                       fused_attention=True, prng_impl="rbg"),
+    "noremat_b2": dict(batch_sizes=(2,), use_checkpoint=False,
+                       fused_attention=True, prng_impl="rbg"),
+    # hash dropout (fusible counter mask, ops/dropout.py): at 512px the
+    # level-remat backward regenerates every mask, so mask cost is paid ~2x —
+    # threefry was ~40% of the step, rbg less, hash should be ~free.
+    "hash_lvl_b4": dict(batch_sizes=(4,), use_checkpoint="level",
+                        fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
+    "hash_noremat_b4": dict(batch_sizes=(4,), use_checkpoint=False,
+                            fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
 }
 
 
@@ -53,6 +69,11 @@ def run(mode: str) -> None:
     import bench
 
     cfg = dict(MODES[mode])
+    if cfg.pop("dropout_impl", None) == "hash":
+        import stain2stain_tpu.models.unet as unet_mod
+        from stain2stain_tpu.ops.dropout import FastDropout as _FD
+
+        unet_mod.FastDropout = lambda rate: _FD(rate, impl="hash")
     batch_sizes = cfg.pop("batch_sizes")
     result = bench.measure_train(512, batch_sizes, **cfg)
     print(f"EXP512 {mode}: {result}", flush=True)

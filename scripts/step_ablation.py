@@ -39,6 +39,11 @@ MODES = {
     "b64": dict(dropout=0.1, prng_impl="rbg", batches=(64, 32)),
     "chain64": dict(chained=True, batch=64),
     "gen128": dict(gen=(256, (128, 64), 2)),
+    # Round-4 candidate: counter-hash dropout mask (murmur3 finalizer over a
+    # fused iota — no RngBitGenerator materialization). vs "rbg" isolates the
+    # mask-generation HBM cost; vs "nodrop" bounds what remains.
+    "hashdrop": dict(dropout=0.1, prng_impl="rbg", dropout_impl="hash"),
+    "hashdrop_chain": dict(chained=True, dropout_impl="hash"),
 }
 
 
@@ -52,6 +57,11 @@ def run(mode: str) -> None:
     import bench
 
     cfg = dict(MODES[mode])
+    if cfg.pop("dropout_impl", None) == "hash":
+        import stain2stain_tpu.models.unet as unet_mod
+        from stain2stain_tpu.ops.dropout import FastDropout as _FD
+
+        unet_mod.FastDropout = lambda rate: _FD(rate, impl="hash")
     if cfg.pop("chained", False):
         tiles = bench.measure_train_chained(256, cfg.pop("batch", 32))
         print(f"ABLATION {mode}: {tiles} tiles/s", flush=True)

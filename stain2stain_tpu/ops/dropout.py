@@ -34,13 +34,14 @@ hardware generator. Safe under ``nn.remat`` (replay re-draws the same mask).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["hardware_dropout", "FastDropout"]
+__all__ = ["hardware_dropout", "hash_dropout", "FastDropout"]
 
 _UTYPES = {8: jnp.uint8, 16: jnp.uint16, 32: jnp.uint32}
 
@@ -75,6 +76,58 @@ def _hd_bwd(rate, nbits, key, dy):
 hardware_dropout.defvjp(_hd_fwd, _hd_bwd)
 
 
+def _hash_mask(seed: jax.Array, shape, rate: float, dtype) -> jax.Array:
+    """Fully-fusible iid Bernoulli(1-rate) keep mask, pre-scaled by 1/(1-rate).
+
+    :func:`hardware_dropout`'s remaining cost is structural: XLA's
+    ``RngBitGenerator`` is not a fusible producer, so the random words are
+    materialized to HBM and read back by the compare — one full extra tensor
+    round-trip per mask even though the arithmetic is trivial. This mask
+    instead hashes a linear element counter (``iota`` — generated in-register
+    inside whatever fusion consumes it) with the murmur3 finalizer, all plain
+    elementwise uint32 ops that XLA fuses into the surrounding chain: the
+    mask costs a handful of VPU ops per element and ZERO HBM bytes.
+
+    Quality: the murmur3 finalizer is a full-avalanche bijection on uint32;
+    per-element bits are decorrelated across both the counter and the seed.
+    That is far weaker than threefry as a *stream* cipher but well beyond
+    what an iid Bernoulli regularization mask needs. Keep probability is
+    exact to 1/2^32. Deterministic per (seed, element index), so a backward
+    pass (or a remat replay) regenerates the identical mask from the seed.
+    """
+    n = math.prod(shape)
+    x = jax.lax.iota(jnp.uint32, n).reshape(shape) + seed.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    thresh = jnp.uint32(min(2**32 - 1, round((1.0 - rate) * 2**32)))
+    return (x < thresh).astype(dtype) * (1.0 / (1.0 - rate))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_dropout(x: jax.Array, seed: jax.Array, rate: float):
+    """``x * mask / (1-rate)`` with a storage-free backward and a mask that
+    fuses completely (no RngBitGenerator on the hot path).
+
+    ``seed`` is a uint32 scalar (one PRNG word drawn outside); ``rate`` must
+    be a static float in (0, 1).
+    """
+    return x * _hash_mask(seed, x.shape, rate, x.dtype)
+
+
+def _hashd_fwd(x, seed, rate):
+    return hash_dropout(x, seed, rate), seed
+
+
+def _hashd_bwd(rate, seed, dy):
+    return dy * _hash_mask(seed, dy.shape, rate, dy.dtype), None
+
+
+hash_dropout.defvjp(_hashd_fwd, _hashd_bwd)
+
+
 class FastDropout(nn.Module):
     """Drop-in ``nn.Dropout`` replacement backed by :func:`hardware_dropout`.
 
@@ -85,6 +138,7 @@ class FastDropout(nn.Module):
 
     rate: float
     rng_collection: str = "dropout"
+    impl: str = "bits"  # "bits" (PRNG words) | "hash" (fusible counter mask)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
@@ -92,4 +146,10 @@ class FastDropout(nn.Module):
             return x
         if self.rate >= 1.0:
             return jnp.zeros_like(x)
-        return hardware_dropout(x, self.make_rng(self.rng_collection), self.rate)
+        key = self.make_rng(self.rng_collection)
+        if self.impl == "hash":
+            # One scalar PRNG word seeds the whole fusible mask; the per-
+            # element bits come from the murmur3 counter hash (zero HBM).
+            seed = jax.random.bits(key, (), jnp.uint32)
+            return hash_dropout(x, seed, self.rate)
+        return hardware_dropout(x, key, self.rate)
