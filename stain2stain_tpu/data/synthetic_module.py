@@ -117,9 +117,9 @@ class SyntheticPairedDataModule(DataModule):
         if jax.process_count() > 1:
             if jax.process_index() == 0:
                 self.prepare_data()
-            from jax.experimental import multihost_utils
+            from stain2stain_tpu.parallel.distributed import host_barrier
 
-            multihost_utils.sync_global_devices("synthetic_generate")
+            host_barrier("synthetic_generate")
         else:
             self.prepare_data()
         self._inner.setup(stage)

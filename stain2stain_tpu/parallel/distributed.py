@@ -59,4 +59,40 @@ def maybe_initialize_distributed() -> bool:
         return False
 
 
-__all__ = ["maybe_initialize_distributed"]
+_barrier_seq: dict[str, int] = {}
+
+
+def host_barrier(name: str, timeout_s: int = 900) -> None:
+    """True host-side barrier via the coordination service.
+
+    ``multihost_utils.sync_global_devices`` is a *device collective* — on the
+    CPU backend its Gloo context rendezvous has a hardcoded 30 s KV-store
+    timeout, so host-side skew (XLA compiles, rank-0-only data generation)
+    routinely kills it, and every extra collective program risks desyncing
+    the per-clique context counters between processes. The coordination
+    service barrier is what it looks like: all hosts block until all arrive
+    (generous timeout), no collective context is created. No-op
+    single-process. Replaces Lightning's ``torch.distributed.barrier()``
+    (ref: /root/reference/src/models/conditional_flow_matching.py:249).
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed as _dist
+
+    client = getattr(_dist.global_state, "client", None)
+    if client is None:
+        # initialized by some other path — degrade to the device collective
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+        return
+    # barrier ids must be unique per use; per-name counters advance in
+    # lockstep because every process passes the same barriers in order
+    seq = _barrier_seq.get(name, 0)
+    _barrier_seq[name] = seq + 1
+    client.wait_at_barrier(f"s2s:{name}:{seq}", timeout_in_ms=timeout_s * 1000)
+
+
+__all__ = ["maybe_initialize_distributed", "host_barrier"]

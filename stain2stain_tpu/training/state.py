@@ -57,19 +57,21 @@ class CheckpointIO:
         self._ckptr = ocp.PyTreeCheckpointer()
 
     def save(self, path: str | Path, state: TrainState, meta: dict) -> None:
-        """Write the checkpoint; call on EVERY process in multi-host runs.
+        """Write the checkpoint; call on EVERY process in multi-host runs,
+        with the SAME ``path`` everywhere (shared storage, the multi-host
+        norm — Orbax asserts path agreement across processes).
 
-        fsdp-sharded leaves span hosts (non-fully-addressable), so they are
-        first gathered to every host with a collective — a rank-0-only call
-        would deadlock (and plain device_get raises on such arrays). Only
-        process 0 touches the filesystem."""
+        Two collectives make a rank-gated call a deadlock, so don't gate:
+        fsdp-sharded leaves span hosts and are first gathered to every host
+        (`_gather`), and Orbax's own ``save`` barriers internally (it writes
+        array data from the primary host only). Only the meta.json side
+        write is explicitly process-0."""
         host_state = self._gather(state)
-        if jax.process_index() != 0:
-            return
         path = Path(path).absolute()
-        path.mkdir(parents=True, exist_ok=True)
+        path.mkdir(parents=True, exist_ok=True)  # idempotent on shared storage
         self._ckptr.save(path / "state", host_state, force=True)
-        (path / "meta.json").write_text(json.dumps(_jsonable(meta), indent=2))
+        if jax.process_index() == 0:
+            (path / "meta.json").write_text(json.dumps(_jsonable(meta), indent=2))
 
     @staticmethod
     def _gather(state: TrainState):
@@ -79,7 +81,10 @@ class CheckpointIO:
 
         def fetch(x):
             if isinstance(x, jax.Array) and not x.is_fully_addressable:
-                return np.asarray(multihost_utils.process_allgather(x))
+                # tiled=True: assemble the GLOBAL value (a cross-process array
+                # is never fully addressable, even when replicated); the
+                # default tiled=False path raises on such arrays.
+                return np.asarray(multihost_utils.process_allgather(x, tiled=True))
             return jax.device_get(x)
 
         return jax.tree_util.tree_map(fetch, state)

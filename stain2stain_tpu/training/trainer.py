@@ -415,6 +415,50 @@ class Trainer:
 
             self._train_chunk_fn = jax.jit(train_chunk, donate_argnums=(0,))
 
+    def _precompile_multihost(self, task, example, val_loader) -> None:
+        """Compile the step programs ahead of time, then align all hosts.
+
+        The first *execution* of a cross-process program creates its Gloo/ICI
+        collective contexts, and on the CPU backend that rendezvous has a
+        hardcoded 30 s KV-store timeout. XLA compiles are the big host-side
+        skew source (a persistent-cache hit on one host vs a cold compile on
+        the other is minutes), so compile everything first, then hold at a
+        coordination-service barrier — the first real dispatch then starts
+        within milliseconds on every host and only pays a trace + warm-cache
+        load. On TPU pods the first execution blocks harmlessly, but the same
+        pre-compile keeps hosts from idling a slice while one straggler
+        compiles."""
+        from stain2stain_tpu.parallel.distributed import host_barrier
+
+        device_batch, _ = self._device_batch(task, example)
+        self._train_step_fn.lower(self.state, device_batch, self._rng).compile()
+        if self._train_chunk_fn is not None:
+            fields = tuple(
+                a if isinstance(a, jax.Array) else np.asarray(a)
+                for a in task.device_fields(example)
+            )
+            n_local_dev = max(1, self.mesh.devices.size // jax.process_count())
+            if fields[0].shape[0] % n_local_dev == 0:
+                stacked = tuple(
+                    (jnp if isinstance(a, jax.Array) else np).stack(
+                        [a] * self.steps_per_execution
+                    )
+                    for a in fields
+                )
+                chunk = shard_chunk(self.mesh, stacked)
+                self._train_chunk_fn.lower(self.state, chunk, self._rng).compile()
+        if val_loader is not None:
+            try:
+                val_example = next(iter(val_loader))
+            except StopIteration:
+                val_example = None
+            if val_example is not None:
+                val_batch, _ = self._device_batch(task, val_example)
+                self._eval_step_fn.lower(
+                    self.state, val_batch, jax.random.fold_in(self._rng, 0)
+                ).compile()
+        host_barrier("step_programs_compiled")
+
     def _device_batch(self, task, batch: tuple):
         """Returns (sharded batch, real example count before padding)."""
         # Device-cached loaders (data/device_cache.py) yield jax Arrays that
@@ -455,9 +499,10 @@ class Trainer:
             # Lightning barriers between prepare_data (process-0 side effects:
             # downloads, split files) and setup (every process reads them);
             # without it a non-zero process can read a torn/missing file.
-            from jax.experimental import multihost_utils
+            # Host barrier, NOT a device collective — see host_barrier.
+            from stain2stain_tpu.parallel.distributed import host_barrier
 
-            multihost_utils.sync_global_devices("prepare_data")
+            host_barrier("prepare_data")
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader()
         if train_loader is None:
@@ -469,6 +514,8 @@ class Trainer:
         self._peek_train = example
         self._init_state(task, example)
         self._compile_steps(task, augment)
+        if jax.process_count() > 1:
+            self._precompile_multihost(task, example, val_loader)
 
         start_epoch = 0
         if ckpt_path:

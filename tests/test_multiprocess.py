@@ -15,6 +15,7 @@ from pathlib import Path
 import pytest
 
 WORKER = Path(__file__).parent / "helpers" / "mp_train_worker.py"
+FIT_WORKER = Path(__file__).parent / "helpers" / "mp_fit_worker.py"
 
 
 def _free_port() -> int:
@@ -23,7 +24,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_data_parallel_step():
+def _launch_pair(worker: Path, args: list[str], devices_per_proc: int = 1):
+    """Start 2 coordinated JAX processes; return their outputs (asserts rc=0)."""
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -33,14 +35,12 @@ def test_two_process_data_parallel_step():
             NUM_PROCESSES="2",
             PROCESS_ID=str(pid),
             JAX_PLATFORMS="cpu",
-            # exactly one local device per process, even when the parent test
-            # run exported an 8-device virtual mesh (S2S_CPU_MESH)
-            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={devices_per_proc}",
         )
         env.pop("S2S_CPU_MESH", None)
         procs.append(
             subprocess.Popen(
-                [sys.executable, str(WORKER)],
+                [sys.executable, str(worker), *args],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
                 text=True,
@@ -49,10 +49,21 @@ def test_two_process_data_parallel_step():
         )
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=420)
-        outs.append(out)
+        try:
+            outs.append(p.communicate(timeout=900)[0])
+        except subprocess.TimeoutExpired:
+            # SIGKILL, not terminate(): jax.distributed installs a SIGTERM
+            # preemption notifier that swallows the default signal.
+            for q in procs:
+                q.kill()
+            outs.append(p.communicate()[0])
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+    return outs
+
+
+def test_two_process_data_parallel_step():
+    outs = _launch_pair(WORKER, [])
     lines = [
         next(line for line in out.splitlines() if line.startswith("MPOK")) for out in outs
     ]
@@ -60,3 +71,58 @@ def test_two_process_data_parallel_step():
     losses = {line.split("loss=")[1].split()[0] for line in lines}
     assert len(checksums) == 1, f"params diverged across processes: {lines}"
     assert len(losses) == 1, f"losses diverged across processes: {lines}"
+
+
+def _run_fit_pair(tmp_path, devices_per_proc: int, extra: list[str] | None = None):
+    """Drive the REAL src.train.train pipeline on 2 processes; return the
+    parsed MPFIT lines and the per-worker output dirs."""
+    data_dir = tmp_path / "synthetic"  # shared: exercises the prepare_data barrier
+    out_dirs = [tmp_path / f"out{pid}" for pid in range(2)]
+    for d in out_dirs:
+        d.mkdir()
+    # worker argv carries its own out dir via PROCESS_ID indexing
+    outs = _launch_pair(
+        FIT_WORKER,
+        [str(data_dir), str(tmp_path / "outPID"), *(extra or [])],
+        devices_per_proc=devices_per_proc,
+    )
+    lines = [
+        next(line for line in out.splitlines() if line.startswith("MPFIT")) for out in outs
+    ]
+    return lines, out_dirs
+
+
+@pytest.mark.slow
+def test_two_process_full_trainer_fit(tmp_path):
+    """Trainer.fit itself (not a hand-rolled step) under process_count=2:
+    prepare_data barrier, per-host batch assembly, rank-0-only logger and
+    checkpoint writes, eval weighting — then bit-identical end states.
+    (Ref parity: /root/reference/tests/test_train.py:65-77 runs the full
+    Lightning fit under ddp_spawn.)"""
+    lines, out_dirs = _run_fit_pair(tmp_path, devices_per_proc=1)
+    fields = [dict(kv.split("=") for kv in line.split()[1:]) for line in lines]
+    assert {f["nproc"] for f in fields} == {"2"}
+    assert {f["ndev"] for f in fields} == {"2"}
+    # identical params, losses and step counts on both processes
+    for key in ("checksum", "loss", "val", "test", "steps"):
+        assert len({f[key] for f in fields}) == 1, f"{key} diverged: {lines}"
+    # rank-0-only side effects: ONLY process 0's output dir has logger files;
+    # checkpoints go to the SHARED dir (collective save, Orbax writes from
+    # the primary host)
+    assert list(out_dirs[0].rglob("metrics.csv")), "process 0 wrote no CSV log"
+    shared = tmp_path / "shared_ckpts"
+    assert list(shared.rglob("meta.json")), "no checkpoint in the shared dir"
+    stray = [p for p in out_dirs[1].rglob("*") if p.is_file()]
+    assert not stray, f"process 1 wrote files (must be rank-0 only): {stray}"
+
+
+@pytest.mark.slow
+def test_two_process_two_devices_each_trainer_fit(tmp_path):
+    """Same full-pipeline fit with 2 virtual devices per process (a 4-device
+    global mesh across 2 hosts): exercises the n_local_dev padding path
+    (training/trainer.py:436-442) with multi-device hosts."""
+    lines, _ = _run_fit_pair(tmp_path, devices_per_proc=2)
+    fields = [dict(kv.split("=") for kv in line.split()[1:]) for line in lines]
+    assert {f["ndev"] for f in fields} == {"4"}
+    for key in ("checksum", "loss", "val", "steps"):
+        assert len({f[key] for f in fields}) == 1, f"{key} diverged: {lines}"
