@@ -30,16 +30,20 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 MODES = {
-    "attn_b4": dict(batch_sizes=(4,), use_checkpoint="level", fused_attention=True),
-    "einsum_b8": dict(batch_sizes=(8, 6), use_checkpoint="level", fused_attention=False),
+    # dropout_impl="bits" pins the pre-round-4 PRNG-word mask on the rows that
+    # were measured in round 3 (the package default is now the counter hash)
+    "attn_b4": dict(batch_sizes=(4,), use_checkpoint="level", fused_attention=True,
+                    dropout_impl="bits"),
+    "einsum_b8": dict(batch_sizes=(8, 6), use_checkpoint="level", fused_attention=False,
+                      dropout_impl="bits"),
     "fusedconv": dict(batch_sizes=(4,), use_checkpoint=False, fused_attention=False,
                       fused_conv=True),
     "fusedconv_blk": dict(batch_sizes=(4,), use_checkpoint="block",
                           fused_attention=False, fused_conv=True),
     "drop_blk_b4": dict(batch_sizes=(4,), use_checkpoint="block",
-                        fused_attention=True, prng_impl="rbg"),
+                        fused_attention=True, prng_impl="rbg", dropout_impl="bits"),
     "drop_lvl_b6": dict(batch_sizes=(6,), use_checkpoint="level",
-                        fused_attention=True, prng_impl="rbg"),
+                        fused_attention=True, prng_impl="rbg", dropout_impl="bits"),
     # Round-4 probes (VERDICT ask #3: push 512px past 45% MFU). The round-2
     # "no-remat OOMs at 512px" conclusion PREDATES the fused-norm residual fix
     # (f32 GroupNorm residuals were the OOM cause, docs/architecture.md):
@@ -56,6 +60,14 @@ MODES = {
                         fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
     "hash_noremat_b4": dict(batch_sizes=(4,), use_checkpoint=False,
                             fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
+    # block remat recomputes ~1 ResBlock per residual instead of a whole
+    # UNet level — cheaper replay than "level" if batch 4 fits under it
+    "hash_blk_b4": dict(batch_sizes=(4,), use_checkpoint="block",
+                        fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
+    # remat-free batch 2 (half the activation footprint of noremat_b4); the
+    # trainer covers effective batch 4 via accumulate_grad_batches=2
+    "hash_noremat_b2": dict(batch_sizes=(2,), use_checkpoint=False,
+                            fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
 }
 
 
@@ -69,11 +81,12 @@ def run(mode: str) -> None:
     import bench
 
     cfg = dict(MODES[mode])
-    if cfg.pop("dropout_impl", None) == "hash":
+    impl = cfg.pop("dropout_impl", None)
+    if impl:  # force a specific mask impl (the package default is "hash")
         import stain2stain_tpu.models.unet as unet_mod
         from stain2stain_tpu.ops.dropout import FastDropout as _FD
 
-        unet_mod.FastDropout = lambda rate: _FD(rate, impl="hash")
+        unet_mod.FastDropout = lambda rate: _FD(rate, impl=impl)
     batch_sizes = cfg.pop("batch_sizes")
     result = bench.measure_train(512, batch_sizes, **cfg)
     print(f"EXP512 {mode}: {result}", flush=True)

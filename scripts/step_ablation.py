@@ -23,11 +23,13 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 MODES = {
-    "base": dict(dropout=0.1, prng_impl="threefry2x32"),
-    "rbg": dict(dropout=0.1, prng_impl="rbg"),
+    # "bits" pins the pre-round-4 PRNG-word mask so these historical rows stay
+    # reproducible now that the package default is the counter-hash mask
+    "base": dict(dropout=0.1, prng_impl="threefry2x32", dropout_impl="bits"),
+    "rbg": dict(dropout=0.1, prng_impl="rbg", dropout_impl="bits"),
     "nodrop": dict(dropout=0.0),
     "nodrop_na": dict(dropout=0.0, attention=False),
-    "chain": dict(chained=True),  # 5 steps fused per dispatch, rbg
+    "chain": dict(chained=True, dropout_impl="bits"),  # 5 steps/dispatch, rbg
     "optonly": dict(optonly=True),  # flat-Adam update alone, scan-chained
     # A/B control: the pre-round-3 nn.Dropout path (f32 uniform + stored bool
     # mask) instead of ops/dropout.py's FastDropout — reproduces the old
@@ -36,8 +38,8 @@ MODES = {
     # Post-attention-stats-fix probes: dropping the lane-padded m/l residuals
     # freed ~512 MB at 256px (ops/pallas_attention.py) — re-test the batch-64
     # operating point that OOMed in rounds 2-3, per-step and chained.
-    "b64": dict(dropout=0.1, prng_impl="rbg", batches=(64, 32)),
-    "chain64": dict(chained=True, batch=64),
+    "b64": dict(dropout=0.1, prng_impl="rbg", batches=(64, 32), dropout_impl="bits"),
+    "chain64": dict(chained=True, batch=64, dropout_impl="bits"),
     "gen128": dict(gen=(256, (128, 64), 2)),
     # Round-4 candidate: counter-hash dropout mask (murmur3 finalizer over a
     # fused iota — no RngBitGenerator materialization). vs "rbg" isolates the
@@ -57,11 +59,12 @@ def run(mode: str) -> None:
     import bench
 
     cfg = dict(MODES[mode])
-    if cfg.pop("dropout_impl", None) == "hash":
+    impl = cfg.pop("dropout_impl", None)
+    if impl:  # force a specific mask impl (the package default is "hash")
         import stain2stain_tpu.models.unet as unet_mod
         from stain2stain_tpu.ops.dropout import FastDropout as _FD
 
-        unet_mod.FastDropout = lambda rate: _FD(rate, impl="hash")
+        unet_mod.FastDropout = lambda rate: _FD(rate, impl=impl)
     if cfg.pop("chained", False):
         tiles = bench.measure_train_chained(256, cfg.pop("batch", 32))
         print(f"ABLATION {mode}: {tiles} tiles/s", flush=True)

@@ -189,9 +189,10 @@ class ResBlock(nn.Module):
             h = FusedGroupNorm(tail="silu", name="norm_out")(h + emb_out)
         h = h.astype(self.dtype)
 
-        # FastDropout = nn.Dropout semantics at ~1/3 the HBM traffic: 16-bit
-        # hardware-RNG draws + a storage-free custom-VJP backward
-        # (ops/dropout.py; measured A/B in scripts/dropout_bench.py).
+        # FastDropout = nn.Dropout semantics at ~zero HBM traffic: the default
+        # counter-hash mask fuses into the surrounding chain and the custom-VJP
+        # backward regenerates it instead of storing it (ops/dropout.py;
+        # measured A/B in scripts/dropout_bench.py + step_ablation.py).
         h = FastDropout(self.dropout)(h, not train)
         h = nn.Conv(
             self.out_channels,

@@ -138,7 +138,12 @@ class FastDropout(nn.Module):
 
     rate: float
     rng_collection: str = "dropout"
-    impl: str = "bits"  # "bits" (PRNG words) | "hash" (fusible counter mask)
+    # "hash" (fusible counter mask) is the production default: at the flagship
+    # 256px operating point it cut the step from 654 ms (rbg bits) to 612.7 ms
+    # per-step / 589.7 ms chained (54.3 tiles/s, ~67% MFU) — within ~7 ms of
+    # the dropout-off bound (scripts/step_ablation.py hashdrop modes, measured
+    # 2026-08-19). "bits" (16-bit PRNG words) kept selectable for A/B.
+    impl: str = "hash"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
