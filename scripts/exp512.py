@@ -68,6 +68,22 @@ MODES = {
     # trainer covers effective batch 4 via accumulate_grad_batches=2
     "hash_noremat_b2": dict(batch_sizes=(2,), use_checkpoint=False,
                             fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
+    # Measured so far (2026-08-19): noremat OOMs at b4 AND b2; block b4 = 608.7
+    # ms (37.9% MFU) — the best fitting point. Next levers:
+    #   hash_blk_b8   — block remat at batch 8/6: occupancy, not recompute
+    #   blk2_b4/b6    — partial-depth remat ("block:2"): remat only the two
+    #                   shallowest levels (most activation bytes), store the
+    #                   deep levels + mid (~half the recompute FLOPs back)
+    "hash_blk_b8": dict(batch_sizes=(8, 6), use_checkpoint="block",
+                        fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
+    "blk2_b4": dict(batch_sizes=(4,), use_checkpoint="block:2",
+                    fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
+    "blk2_b6": dict(batch_sizes=(6,), use_checkpoint="block:2",
+                    fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
+    "blk3_b4": dict(batch_sizes=(4,), use_checkpoint="block:3",
+                    fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
+    "lvl2_b4": dict(batch_sizes=(4,), use_checkpoint="level:2",
+                    fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
 }
 
 

@@ -510,8 +510,11 @@ class UNetModel(nn.Module):
     feature-map sizes ("16,8"), or an explicit sequence of downsample ratios.
     ``use_checkpoint``: False (store everything), True/"block" (remat each
     res/attn block), or "level" (remat whole resolution levels — least memory,
-    same recompute FLOPs as "block"; parameter structure is identical across
-    all modes so checkpoints are interchangeable).
+    same recompute FLOPs as "block"). Either mode takes an optional ":K"
+    suffix ("block:2") restricting remat to the K shallowest levels, which
+    hold most of the activation bytes but only ~K/n_levels of the recompute
+    FLOPs — the deep levels and the mid block are stored. Parameter structure
+    is identical across all modes so checkpoints are interchangeable.
     """
 
     dim: Sequence[int] = (3, 256, 256)
@@ -549,15 +552,27 @@ class UNetModel(nn.Module):
             return max(chans // self.num_head_channels, 1)
         return self.num_heads
 
-    def _remat_mode(self) -> Optional[str]:
+    def _remat_mode(self) -> tuple:
+        """Returns (mode, depth): mode in {None, 'block', 'level'}; depth=None
+        means every level (and the mid block), depth=K restricts remat to the
+        K shallowest resolution levels — the ones holding ~2^K/(2^K+...) of
+        activation memory — leaving deep levels and mid stored (512px probe:
+        shallow-only remat keeps most of the memory win for less recompute)."""
         if self.use_checkpoint is True:
-            return "block"
+            return "block", None
         if not self.use_checkpoint:
-            return None
+            return None, None
         mode = str(self.use_checkpoint)
+        depth: Optional[int] = None
+        if ":" in mode:
+            mode, _, d = mode.partition(":")
+            depth = int(d)
         if mode not in ("block", "level"):
-            raise ValueError(f"use_checkpoint must be False/True/'block'/'level', got {mode!r}")
-        return mode
+            raise ValueError(
+                "use_checkpoint must be False/True/'block'/'level' (optionally "
+                f"'block:K'/'level:K' for the K shallowest levels), got {mode!r}"
+            )
+        return mode, depth
 
     @nn.compact
     def __call__(
@@ -574,15 +589,27 @@ class UNetModel(nn.Module):
         mc = self.num_channels
         time_dim = mc * 4
         attention_ds = self._attention_ds()
-        mode = self._remat_mode()
-        remat_blocks = mode == "block"
-        down_level_cls = (
-            nn.remat(_DownLevel, static_argnums=(3,)) if mode == "level" else _DownLevel
-        )
-        up_level_cls = (
-            nn.remat(_UpLevel, static_argnums=(4,)) if mode == "level" else _UpLevel
-        )
-        mid_cls = nn.remat(_MidBlocks, static_argnums=(3,)) if mode else _MidBlocks
+        mode, remat_depth = self._remat_mode()
+
+        def _level_mode(level: int) -> Optional[str]:
+            if mode is None or (remat_depth is not None and level >= remat_depth):
+                return None
+            return mode
+
+        def _down_cls(level: int):
+            lm = _level_mode(level)
+            cls = nn.remat(_DownLevel, static_argnums=(3,)) if lm == "level" else _DownLevel
+            return cls, lm == "block"
+
+        def _up_cls(level: int):
+            lm = _level_mode(level)
+            cls = nn.remat(_UpLevel, static_argnums=(4,)) if lm == "level" else _UpLevel
+            return cls, lm == "block"
+
+        # mid runs at the deepest resolution — under a depth-restricted mode it
+        # is stored, matching the deep levels around it
+        mid_remat = mode is not None and remat_depth is None
+        mid_cls = nn.remat(_MidBlocks, static_argnums=(3,)) if mid_remat else _MidBlocks
         resample = "res" if self.resblock_updown else ("conv" if self.conv_resample else "pool")
 
         emb = timestep_embedding_adm(t, mc)
@@ -605,6 +632,7 @@ class UNetModel(nn.Module):
             heads = self._num_heads_for(mult * mc) if ds in attention_ds else 0
             level_cfg.append((level, mult, heads))
             last = level == n_levels - 1
+            down_level_cls, remat_blocks = _down_cls(level)
             h, level_skips = down_level_cls(
                 mult * mc,
                 self.num_res_blocks,
@@ -637,6 +665,7 @@ class UNetModel(nn.Module):
         # bottom level, which runs at the middle block's resolution).
         for level, mult, heads in reversed(level_cfg):
             level_skips = tuple(skips.pop() for _ in range(self.num_res_blocks + 1))
+            up_level_cls, remat_blocks = _up_cls(level)
             h = up_level_cls(
                 mult * mc,
                 self.num_res_blocks,

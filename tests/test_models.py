@@ -189,7 +189,7 @@ def test_shared_encoder_batchnorm_mode():
     assert "batch_stats" in updates
 
 
-@pytest.mark.parametrize("mode", [True, "block", "level"])
+@pytest.mark.parametrize("mode", [True, "block", "level", "block:1", "level:1"])
 def test_unet_remat_knob_gradients(mode):
     # use_checkpoint must trace/compile with static train flag, accept the
     # SAME variables as the non-remat module (parameter-structure contract),
