@@ -74,7 +74,7 @@ WARMUP, STEPS = 3, 20
 
 
 def build(image_size: int, use_checkpoint, fused_attention=None, fused_conv=None,
-          dropout=0.1):
+          dropout=0.1, s2b_conv=None):
     from stain2stain_tpu.models import UNetModel
     from stain2stain_tpu.tasks import ConditionalFlowMatchingModule
     from stain2stain_tpu.training.optim import Adam
@@ -92,6 +92,7 @@ def build(image_size: int, use_checkpoint, fused_attention=None, fused_conv=None
         use_checkpoint=use_checkpoint,
         fused_attention=fused_attention,
         fused_conv=fused_conv,
+        s2b_conv=s2b_conv,
         dtype=jnp.bfloat16,
     )
     task = ConditionalFlowMatchingModule(net=net, optimizer=lambda: Adam(lr=1e-4))
@@ -127,11 +128,12 @@ def _make_train_step(task, tx):
 
 
 def measure_train(image_size: int, batch_sizes, use_checkpoint=False, fused_attention=None,
-                  fused_conv=None, dropout=0.1, prng_impl="threefry2x32"):
+                  fused_conv=None, dropout=0.1, prng_impl="threefry2x32", s2b_conv=None):
     """(batch, tiles/s, step_flops, mfu) at the largest batch that fits."""
     from stain2stain_tpu.training.state import TrainState
 
-    task = build(image_size, use_checkpoint, fused_attention, fused_conv, dropout=dropout)
+    task = build(image_size, use_checkpoint, fused_attention, fused_conv, dropout=dropout,
+                 s2b_conv=s2b_conv)
     tx, _ = task.configure_optimizers()
 
     for batch_size in batch_sizes:
@@ -308,10 +310,13 @@ def _run_mode(mode: str) -> None:
     elif mode == "train512":
         # Pallas attention at 4096 tokens now compiles inside the full 512px
         # program (round-2's remote-helper crash no longer reproduces) and
-        # beats einsum by ~7.5% (scripts/exp512.py); batch 6/8 OOM even with
-        # level remat, and fused_conv-instead-of-remat OOMs (non-conv
-        # residuals dominate at 512px).
-        result = measure_train(512, (4,), use_checkpoint="level", fused_attention=True,
+        # beats einsum by ~7.5% (scripts/exp512.py); batch 6/8 OOM under
+        # EVERY remat granularity, no-remat OOMs at batch 4 and 2, and
+        # fused_conv-instead-of-remat OOMs (non-conv residuals dominate).
+        # "block:2" (remat only the two shallowest levels) is the measured
+        # winner of the round-4 granularity sweep: 597.6 ms vs 608.7 block /
+        # 748.6 level (scripts/exp512.py, BASELINE.md round-4 rows).
+        result = measure_train(512, (4,), use_checkpoint="block:2", fused_attention=True,
                                prng_impl="rbg")
         _emit(None if result is None else
               {"batch": result[0], "tiles": result[1], "mfu": result[3]})

@@ -84,6 +84,16 @@ MODES = {
                     fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
     "lvl2_b4": dict(batch_sizes=(4,), use_checkpoint="level:2",
                     fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
+    # Round-4 space-to-batch probes: the roofline (scripts/roofline512.py)
+    # showed the block:2 step executes at only 37% of its compute bound and
+    # isolated convs at the 512px batch-4 shapes reach just 31-50% MFU — XLA's
+    # conv tiling starves at batch 4. s2b_conv=f re-expresses each ResBlock
+    # 3x3 conv as a batch-rich one over f×f halo tiles (ops/s2b_conv.py),
+    # numerics unchanged (tests/test_s2b_conv.py).
+    "s2b_blk2_b4": dict(batch_sizes=(4,), use_checkpoint="block:2", s2b_conv=2,
+                        fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
+    "s2b4_blk2_b4": dict(batch_sizes=(4,), use_checkpoint="block:2", s2b_conv=4,
+                         fused_attention=True, prng_impl="rbg", dropout_impl="hash"),
 }
 
 

@@ -29,6 +29,12 @@ SHAPES = [
     (32, 128, 128, 256, 256),
     (32, 64, 64, 256, 256),
     (32, 32, 32, 512, 512),
+    # 512px batch-4 levels (the round-4 512px MFU question: is the train
+    # step's 37.9% at the per-op XLA ceiling for THESE shapes?)
+    (4, 512, 512, 128, 128),
+    (4, 256, 256, 256, 256),
+    (4, 128, 128, 256, 256),
+    (4, 64, 64, 512, 512),
 ]
 WARMUP, REPS, N_ITER = 2, 8, 12
 
@@ -57,8 +63,9 @@ def timed(step, carry_init, *consts, n_iter=N_ITER) -> float:
     return (time.perf_counter() - t0) / REPS / n_iter
 
 
-def bench_kernel(i: int) -> None:
+def bench_kernel(i: int, only: str | None = None) -> None:
     from stain2stain_tpu.ops import pallas_conv as pc
+    from stain2stain_tpu.ops.s2b_conv import space_to_batch_conv
 
     B, H, W, C, D = SHAPES[i]
     flops = 2 * B * H * W * 9 * C * D
@@ -85,7 +92,23 @@ def bench_kernel(i: int) -> None:
     def fused_op(x, w):
         return pc.norm_act_conv(x, w, bias, gamma, beta, groups=32, act="silu")
 
-    for name, op in (("xla", xla_op), ("fused", fused_op)):
+    def s2b_op(x, w):
+        # Space-to-batch probe for the 512px batch-4 question: XLA's conv
+        # tiling starves at batch 4 (roofline512.py found the step at the
+        # per-op ceiling), so split each image into 2x2 halo-padded tiles and
+        # run the SAME conv at 4x the batch / quarter the spatial dims. GN
+        # stays in the full layout (its stats are per-sample over all of HxW).
+        mean, rstd = pc.gn_stats(x, 32)
+        z = (
+            x.astype(jnp.float32) * (rstd * gamma[None])[:, None, None, :]
+            + (beta[None] - mean * rstd * gamma[None])[:, None, None, :]
+        )
+        n = (z * jax.nn.sigmoid(z)).astype(jnp.bfloat16)
+        return space_to_batch_conv(n, w.astype(jnp.bfloat16), factor=2)
+
+    for name, op in (("xla", xla_op), ("fused", fused_op), ("s2b", s2b_op)):
+        if only and name != only:
+            continue
         if D == C:
             dt = timed(lambda x_, op=op: (op(x_, w) * 0.01).astype(jnp.bfloat16), x)
             print(f"L{i} {name:6s} fwd     {dt*1e3:7.2f} ms  {flops/dt/V5E_BF16_FLOPS*100:5.1f}% MFU", flush=True)
@@ -112,6 +135,6 @@ def bench_step(fused: bool) -> None:
 
 if __name__ == "__main__":
     if sys.argv[1] == "kernel":
-        bench_kernel(int(sys.argv[2]))
+        bench_kernel(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else None)
     elif sys.argv[1] == "step":
         bench_step(sys.argv[2] == "on")

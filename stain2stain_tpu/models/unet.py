@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from stain2stain_tpu.ops import pallas_conv
+from stain2stain_tpu.ops import s2b_conv as s2b_conv_ops
 from stain2stain_tpu.ops.dropout import FastDropout
 from stain2stain_tpu.ops.norms import group_norm, group_norm_film_silu, group_norm_silu
 from stain2stain_tpu.ops.time_embedding import timestep_embedding_adm
@@ -137,6 +138,11 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     fused_conv: Optional[bool] = None
+    s2b_conv: Optional[int] = None  # factor f>=2 routes the 3x3 convs through
+    # ops/s2b_conv.py (f x f halo tiles -> one batch-rich VALID conv) — the
+    # low-batch/large-spatial throughput lever found by the round-4 512px
+    # roofline (BASELINE.md); param names/shapes identical to nn.Conv so
+    # checkpoints are interchangeable.
     dtype: Any = jnp.float32
 
     def _fused_enabled(self, x: jax.Array) -> bool:
@@ -158,6 +164,33 @@ class ResBlock(nn.Module):
             (3, 3, self.out_channels, self.out_channels),
         )
 
+    def _s2b_factor(self, h: jax.Array) -> int:
+        """Tile factor for this level's shape, or 0 for the plain conv path."""
+        f = int(self.s2b_conv or 0)
+        if f < 2 or self.up or self.down:
+            return 0
+        H, W = h.shape[1], h.shape[2]
+        # Tiles below 16px pay more halo shuffle than they recover in MXU
+        # occupancy, and non-divisible grids can't tile at all.
+        if H % f or W % f or min(H, W) // f < 16:
+            return 0
+        return f
+
+    def _conv3(self, h: jax.Array, out_ch: int, name: str, zeros_init: bool = False) -> jax.Array:
+        f = self._s2b_factor(h)
+        if f:
+            kernel, bias = _Conv3Params(
+                h.shape[-1], out_ch, zeros_init=zeros_init, name=name
+            )()
+            y = s2b_conv_ops.space_to_batch_conv(
+                h, kernel.astype(self.dtype), factor=f
+            )
+            return y + bias.astype(y.dtype)
+        init = nn.initializers.zeros if zeros_init else nn.initializers.lecun_normal()
+        return nn.Conv(
+            out_ch, (3, 3), padding=1, dtype=self.dtype, kernel_init=init, name=name
+        )(h)
+
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False) -> jax.Array:
         # ``train`` is positional (not keyword-only) so nn.remat can mark it
@@ -176,7 +209,7 @@ class ResBlock(nn.Module):
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
 
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(h)
+        h = self._conv3(h, self.out_channels, "conv_in")
 
         emb_out_dim = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
         emb_out = nn.Dense(emb_out_dim, dtype=self.dtype, name="emb_proj")(nn.silu(emb.astype(self.dtype)))
@@ -194,14 +227,7 @@ class ResBlock(nn.Module):
         # backward regenerates it instead of storing it (ops/dropout.py;
         # measured A/B in scripts/dropout_bench.py + step_ablation.py).
         h = FastDropout(self.dropout)(h, not train)
-        h = nn.Conv(
-            self.out_channels,
-            (3, 3),
-            padding=1,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,
-            name="conv_out",
-        )(h)
+        h = self._conv3(h, self.out_channels, "conv_out", zeros_init=True)
 
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip_proj")(x)
@@ -320,6 +346,7 @@ class _DownBlock(nn.Module):
     use_scale_shift_norm: bool
     fused_attention: Optional[bool]
     fused_conv: Optional[bool]
+    s2b_conv: Optional[int]
     dtype: Any
 
     @nn.compact
@@ -329,6 +356,7 @@ class _DownBlock(nn.Module):
             dropout=self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
             fused_conv=self.fused_conv,
+            s2b_conv=self.s2b_conv,
             dtype=self.dtype,
             name="res",
         )(h, emb, train)
@@ -352,6 +380,7 @@ class _UpBlock(nn.Module):
     use_scale_shift_norm: bool
     fused_attention: Optional[bool]
     fused_conv: Optional[bool]
+    s2b_conv: Optional[int]
     dtype: Any
 
     @nn.compact
@@ -362,6 +391,7 @@ class _UpBlock(nn.Module):
             dropout=self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
             fused_conv=self.fused_conv,
+            s2b_conv=self.s2b_conv,
             dtype=self.dtype,
             name="res",
         )(h, emb, train)
@@ -387,6 +417,7 @@ class _DownLevel(nn.Module):
     use_scale_shift_norm: bool
     fused_attention: Optional[bool]
     fused_conv: Optional[bool]
+    s2b_conv: Optional[int]
     remat_blocks: bool
     dtype: Any
     downsample: str = "none"  # "none" | "conv" | "pool" | "res"
@@ -405,6 +436,7 @@ class _DownLevel(nn.Module):
                 self.use_scale_shift_norm,
                 self.fused_attention,
                 self.fused_conv,
+                self.s2b_conv,
                 self.dtype,
                 name=f"block_{i}",
             )(h, emb, train)
@@ -441,6 +473,7 @@ class _UpLevel(nn.Module):
     use_scale_shift_norm: bool
     fused_attention: Optional[bool]
     fused_conv: Optional[bool]
+    s2b_conv: Optional[int]
     remat_blocks: bool
     dtype: Any
     upsample: str = "none"  # "none" | "conv" | "pool" | "res"
@@ -470,6 +503,7 @@ class _UpLevel(nn.Module):
                 self.use_scale_shift_norm,
                 self.fused_attention,
                 self.fused_conv,
+                self.s2b_conv,
                 self.dtype,
                 name=f"block_{i}",
             )(h, skips[i], emb, train)
@@ -484,6 +518,7 @@ class _MidBlocks(nn.Module):
     use_scale_shift_norm: bool
     fused_attention: Optional[bool]
     fused_conv: Optional[bool]
+    s2b_conv: Optional[int]
     dtype: Any
 
     @nn.compact
@@ -492,6 +527,7 @@ class _MidBlocks(nn.Module):
             dropout=self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
             fused_conv=self.fused_conv,
+            s2b_conv=self.s2b_conv,
             dtype=self.dtype,
         )
         h = ResBlock(h.shape[-1], name="res_0", **kw)(h, emb, train)
@@ -535,6 +571,11 @@ class UNetModel(nn.Module):
     fused_attention: Optional[bool] = None  # None = Pallas kernel on TPU
     fused_conv: Optional[bool] = None  # OPT-IN: None/False = XLA convs (the
     # measured winner, scripts/fused_conv_bench.py); True = Pallas GN+SiLU+conv
+    s2b_conv: Optional[int] = None  # OPT-IN tile factor (2 = 2x2) routing the
+    # ResBlock 3x3 convs through ops/s2b_conv.py at levels whose spatial dims
+    # divide evenly — re-expresses a batch-starved conv as a batch-rich one
+    # (the 512px batch-4 lever, BASELINE.md round-4 roofline row). Numerics
+    # and params identical to the plain path.
     dtype: Any = jnp.float32
 
     def _attention_ds(self) -> tuple:
@@ -641,6 +682,7 @@ class UNetModel(nn.Module):
                 self.use_scale_shift_norm,
                 self.fused_attention,
                 self.fused_conv,
+                self.s2b_conv,
                 remat_blocks,
                 self.dtype,
                 downsample="none" if last else resample,
@@ -657,6 +699,7 @@ class UNetModel(nn.Module):
             self.use_scale_shift_norm,
             self.fused_attention,
             self.fused_conv,
+            self.s2b_conv,
             self.dtype,
             name="mid",
         )(h, emb, train)
@@ -674,6 +717,7 @@ class UNetModel(nn.Module):
                 self.use_scale_shift_norm,
                 self.fused_attention,
                 self.fused_conv,
+                self.s2b_conv,
                 remat_blocks,
                 self.dtype,
                 upsample="none" if level == n_levels - 1 else resample,

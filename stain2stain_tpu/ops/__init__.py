@@ -15,6 +15,7 @@ from .losses import (
 )
 from .metrics import FeatureExtractor, evaluate_quality, fid, psnr, ssim
 from .pallas_attention import attention, fused_attention
+from .s2b_conv import space_to_batch_conv
 from .solvers import integrate, odeint_dopri5, odeint_fixed
 from .time_embedding import timestep_embedding_adm, timestep_embedding_sincos
 
