@@ -128,8 +128,18 @@ def _make_train_step(task, tx):
 
 
 def measure_train(image_size: int, batch_sizes, use_checkpoint=False, fused_attention=None,
-                  fused_conv=None, dropout=0.1, prng_impl="threefry2x32", s2b_conv=None):
-    """(batch, tiles/s, step_flops, mfu) at the largest batch that fits."""
+                  fused_conv=None, dropout=0.1, prng_impl="threefry2x32", s2b_conv=None,
+                  on_first_row=None, first_steps=5):
+    """(batch, tiles/s, step_flops, mfu) at the largest batch that fits.
+
+    ``on_first_row(batch, tiles, flops, mfu)`` — if given, called with a
+    *preliminary* measurement after only ``first_steps`` timed steps, before
+    the full STEPS refinement.  Round-4 post-mortem: the driver's row budget
+    killed train256 after the (cold, >900 s on this 1-vCPU box) compile but
+    before the 20-step timing loop finished, so three rounds of BENCH carry
+    value 0.0.  The preliminary row makes a kill after compile+~5 steps still
+    record a real throughput; the refined row then supersedes it.
+    """
     from stain2stain_tpu.training.state import TrainState
 
     task = build(image_size, use_checkpoint, fused_attention, fused_conv, dropout=dropout,
@@ -156,7 +166,16 @@ def measure_train(image_size: int, batch_sizes, use_checkpoint=False, fused_atte
             # returns before remote execution completes, so timing must
             # materialize a value to host every step.
             t0 = time.perf_counter()
-            for _ in range(STEPS):
+            for _ in range(first_steps):
+                state, loss = step(state, src, tgt, rng)
+                float(loss)
+            t_first = time.perf_counter() - t0
+            if on_first_row is not None:
+                on_first_row(batch_size,
+                             first_steps * batch_size / t_first,
+                             step_flops,
+                             step_flops / (t_first / first_steps) / V5E_BF16_FLOPS)
+            for _ in range(STEPS - first_steps):
                 state, loss = step(state, src, tgt, rng)
                 float(loss)
             dt = time.perf_counter() - t0
@@ -272,11 +291,19 @@ def _run_mode(mode: str) -> None:
     standalone, the sequence in one process did not). Same-shape measurements
     share a process to amortize the tunnel/compile startup, with a cumulative
     JSON line after each so a timeout keeps the finished ones."""
+    t_mode = time.monotonic()
+    mode_budget = float(os.environ.get("S2S_MODE_BUDGET_S", "1e9"))
     acc = {}
     if mode == "train256":
         # rbg PRNG = the Trainer's TPU default (threefry dropout masks alone
         # cost ~24%/step; measured 797 -> 681 ms, scripts/step_ablation.py)
-        result = measure_train(256, (32, 16, 8), prng_impl="rbg")
+        def first_row(batch, tiles, flops, mfu):
+            acc.update(batch=batch, tiles=tiles, flops=flops, mfu=mfu,
+                       preliminary=True)
+            _emit(acc)
+
+        result = measure_train(256, (32, 16, 8), prng_impl="rbg",
+                               on_first_row=first_row)
         if result is None:
             raise RuntimeError("256px train benchmark OOMed at every batch size")
         batch_size, tiles_per_sec, step_flops, mfu = result
@@ -286,10 +313,15 @@ def _run_mode(mode: str) -> None:
         # 5 steps fused per dispatch: the production-faithful number (a real
         # loop dispatches steps back-to-back; per-step timing pays a ~20-27 ms
         # tunnel round-trip per step on this box). Same model/batch/shapes as
-        # the per-step row, so sharing the process is HBM-safe.
-        acc["chained_tiles"] = measure_train_chained(256, batch_size, chain=5,
-                                                     prng_impl="rbg")
-        _emit(acc)
+        # the per-step row, so sharing the process is HBM-safe. Started only
+        # with >=180 s of row budget left: its (cold) compile must not be able
+        # to starve the already-measured per-step row's refinement.
+        if mode_budget - (time.monotonic() - t_mode) >= 180:
+            acc["chained_tiles"] = measure_train_chained(256, batch_size, chain=5,
+                                                         prng_impl="rbg")
+            _emit(acc)
+        else:
+            print("# train256: skipping chained row (row budget low)", file=sys.stderr)
     elif mode == "gen256":
         # 2-step = the reference's simple-FM/logging setting; 50-step = its
         # multitask inference setting. Same model params, same tile size.
@@ -333,10 +365,11 @@ def _sub(mode: str, timeout_s: float):
     import subprocess
 
     stdout, stderr = "", ""
+    env = dict(os.environ, S2S_MODE_BUDGET_S=str(max(30, timeout_s)))
     try:
         proc = subprocess.run(
             [sys.executable, __file__, mode],
-            capture_output=True, text=True, timeout=max(30, timeout_s),
+            capture_output=True, text=True, timeout=max(30, timeout_s), env=env,
         )
         stdout, stderr = proc.stdout, proc.stderr
         if proc.returncode != 0:
@@ -408,6 +441,10 @@ def main() -> None:
         if train and train.get("tiles"):
             extra["train_batch_256"] = train["batch"]
             extra["train_mfu_256"] = round(train["mfu"], 3)
+            if train.get("preliminary"):
+                # the row budget killed the mode between the 5-step preliminary
+                # and the 20-step refinement — the number is real, just noisier
+                extra["train_row_preliminary"] = True
             if train["flops"] > 0:
                 h100_est = MFU_REF * H100_BF16_FLOPS / (train["flops"] / train["batch"])
                 headline["value"] = train["tiles"]

@@ -46,6 +46,12 @@ MODES = {
     # mask-generation HBM cost; vs "nodrop" bounds what remains.
     "hashdrop": dict(dropout=0.1, prng_impl="rbg", dropout_impl="hash"),
     "hashdrop_chain": dict(chained=True, dropout_impl="hash"),
+    # Round-5 probe (VERDICT r4 ask #8): the b64 post-mortem pegged batch 32
+    # at 15.03 GiB = 94% of HBM with the binding allocation linear in batch
+    # (up-path skip-concat gradient working set) — b64 needs 21.7 GiB, but
+    # non-power-of-2 batches are legal and 40/48 sit between. Package-default
+    # hash dropout (zero mask bytes), rbg, no remat — the production recipe.
+    "b40": dict(dropout=0.1, prng_impl="rbg", batches=(48, 40)),
 }
 
 
