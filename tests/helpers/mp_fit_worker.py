@@ -90,7 +90,15 @@ def main() -> None:
     metrics, objects = train(cfg)
     trainer = objects["trainer"]
     assert trainer.state is not None
-    assert trainer.global_step == 2  # 8 train pairs / global batch 4 / 1 epoch
+    # n_train pairs / global batch / epoch (default 8/4/1 = 2 steps; the
+    # chained-dispatch test overrides n_train=20 -> 5 steps = one full
+    # steps_per_execution=5 chunk)
+    expected_steps = (
+        int(cfg["data"].get("n_train", 8))
+        // int(cfg["data"]["batch_size"])
+        * int(cfg["trainer"]["max_epochs"])
+    )
+    assert trainer.global_step == expected_steps, (trainer.global_step, expected_steps)
 
     # Params are replicated over the data axis, so every process can read its
     # local copy; identical checksums across workers == globally consistent
