@@ -158,6 +158,8 @@ def measure_train(image_size: int, batch_sizes, use_checkpoint=False, fused_atte
             state = TrainState.create(variables, tx)
             step = jax.jit(_make_train_step(task, tx), donate_argnums=(0,))
             rng = jax.random.key(2, impl=prng_impl)
+            print(f"# compiling train {image_size}px batch={batch_size} ...",
+                  file=sys.stderr, flush=True)
             compiled = step.lower(state, src, tgt, rng).compile()
             step_flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
             for _ in range(WARMUP):
@@ -257,6 +259,8 @@ def measure_generate(image_size: int, batch_sizes, num_steps: int):
             src = jax.random.uniform(jax.random.key(0), (batch_size, image_size, image_size, 3),
                                      jnp.float32, -1.0, 1.0)
             gen = jax.jit(lambda v, x: task.generate(v, x, num_steps=num_steps))
+            print(f"# compiling generate {num_steps}-step {image_size}px "
+                  f"batch={batch_size} ...", file=sys.stderr, flush=True)
             out = gen(variables, src)
             jax.block_until_ready(out)
             float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
@@ -329,10 +333,17 @@ def _run_mode(mode: str) -> None:
         if infer:
             acc["tiles_2step"] = infer
             _emit(acc)
-        infer50 = measure_generate(256, (32, 16, 8), num_steps=50)
-        if infer50:
-            acc["tiles_50step"] = infer50
-            _emit(acc)
+        # The remote compile helper's latency is load-variable (measured
+        # 2026-08-20: the same gen256 pair compiled in 436 s one hour and
+        # >600 s the next) — start the 50-step program only if it cannot
+        # starve an already-running row's budget.
+        if mode_budget - (time.monotonic() - t_mode) >= 240:
+            infer50 = measure_generate(256, (32, 16, 8), num_steps=50)
+            if infer50:
+                acc["tiles_50step"] = infer50
+                _emit(acc)
+        else:
+            print("# gen256: skipping 50-step row (row budget low)", file=sys.stderr)
         if not acc:
             _emit(None)
     elif mode == "gen512":
@@ -437,7 +448,12 @@ def main() -> None:
     # wall-clock kill must not be able to erase them), then inference, then
     # the 512px train row (biggest compile, least marginal information).
     if remaining() > 120:
-        train = _sub("train256", timeout_s=min(900, remaining() - 20))
+        # Up to 1500 s for the headline row: round-4 post-mortem measured the
+        # COLD flagship compile alone at >900 s on this 1-vCPU box, and the
+        # train row is the JSON `value` — the inference extras below are worth
+        # less than this row, so they absorb the squeeze when the cache is
+        # cold. Warm (scripts/warm_bench.py), the whole mode takes ~3 min.
+        train = _sub("train256", timeout_s=min(1500, remaining() - 20))
         if train and train.get("tiles"):
             extra["train_batch_256"] = train["batch"]
             extra["train_mfu_256"] = round(train["mfu"], 3)
@@ -461,7 +477,7 @@ def main() -> None:
 
     if remaining() > 180:
         pause(20)
-        gen = _sub("gen256", timeout_s=min(600, remaining() - 20))
+        gen = _sub("gen256", timeout_s=min(900, remaining() - 20))
         if gen:
             if gen.get("tiles_2step"):
                 extra["infer_2step_tiles_per_sec_256"] = round(gen["tiles_2step"], 2)

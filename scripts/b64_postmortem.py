@@ -39,6 +39,19 @@ POINTS = {
     "b64_nodrop": dict(batch=64, dropout=0.0),
     "b64_blockremat": dict(batch=64, use_checkpoint="block"),
     "b48_plain": dict(batch=48),
+    # Round-5 probes (VERDICT r4 ask #8): with batch 32 at 94% HBM, do the
+    # remaining freed-HBM levers — donating the uint8 src/tgt input buffers
+    # (donate_inputs: XLA may alias them into the temp pool) and bf16 Adam
+    # moments (-0.57 GiB for 71M params) — open ANY intermediate batch?
+    # Non-power-of-2 batches are legal on the MXU (the batch dim is just the
+    # outermost spatial tile).
+    "b40_plain": dict(batch=40),
+    "b40_exploit": dict(batch=40, bf16_moments=True, donate_inputs=True),
+    "b40_exploit_blk2": dict(batch=40, bf16_moments=True, donate_inputs=True,
+                             use_checkpoint="block:2"),
+    "b48_exploit": dict(batch=48, bf16_moments=True, donate_inputs=True),
+    "b48_exploit_blk2": dict(batch=48, bf16_moments=True, donate_inputs=True,
+                             use_checkpoint="block:2"),
 }
 
 HBM_BYTES = 16 * 1024**3  # v5e lite: 16 GiB HBM per chip
@@ -60,6 +73,7 @@ def run(point: str) -> None:
     bf16_moments = cfg.pop("bf16_moments", False)
     dropout = cfg.pop("dropout", 0.1)
     use_checkpoint = cfg.pop("use_checkpoint", False)
+    donate_inputs = cfg.pop("donate_inputs", False)
 
     task = bench.build(256, use_checkpoint, fused_attention=True, dropout=dropout)
     tx, _ = task.configure_optimizers()
@@ -83,7 +97,8 @@ def run(point: str) -> None:
                 state.opt_state,
             )
         )
-    step = jax.jit(bench._make_train_step(task, tx), donate_argnums=(0,))
+    donate = (0, 1, 2) if donate_inputs else (0,)
+    step = jax.jit(bench._make_train_step(task, tx), donate_argnums=donate)
     rng = jax.random.key(2, impl="rbg")
     t0 = time.time()
     compiled = step.lower(state, src, tgt, rng).compile()

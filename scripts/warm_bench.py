@@ -8,17 +8,26 @@ suite* shares, and two round-4 commits changed the flagship program after any
 earlier seeding, so the persistent cache could not hit.  On this 1-vCPU tunnel
 box the flagship compile alone exceeds the 900 s row budget.
 
-This script closes that hole by running every `bench.py` measurement mode as
-the same subprocess the driver-run bench spawns — identical code path ⇒
-identical HLO ⇒ identical persistent-cache keys (bench.py pins
-`jax_compilation_cache_dir` to `.jax_compile_cache/`).  A subsequent
-`python bench.py` then starts with every program warm and the whole suite
-finishes well inside its budget.
+This script runs every `bench.py` measurement mode as the same subprocess the
+driver-run bench spawns — identical code path ⇒ identical HLO.
+
+MEASURED REALITY (round 5, 2026-08-20): the axon platform does NOT persist
+TPU executables into `.jax_compile_cache/` — after a full warm-bench pass the
+cache holds only small CPU programs (the flagship `jit_train_step` entry
+there is the tiny-net CPU one from the test suite).  Compilation happens in
+the remote compile helper, so the value of this script is (a) any
+server-side caching the helper does for identical HLO, and (b) a full dry
+run proving every bench mode executes.  The hard guarantee for the driver's
+bench is in bench.py itself: a *preliminary* cumulative train row after
+compile + 5 timed steps (~6-7 min from fully cold on an idle box; measured
+613.6 ms/step cold path 2026-08-20) plus a 1500 s row budget for train256.
 
 RUN THIS AFTER ANY COMMIT THAT CHANGES A PROGRAM ON THE BENCH PATH
 (model/ops/task/optimizer code — e.g. round 4's hash-dropout default and
 `s2b_conv` knob were exactly such changes).  `make warm-bench` is the entry
-point; it is safe (just slow, ~40-60 min cold) to re-run unconditionally.
+point; safe to re-run unconditionally (~30-40 min, one mode at a time —
+NEVER run it while anything else touches the chip: a concurrent process
+degrades a running measurement to ~50 s/step).
 
 Usage: python scripts/warm_bench.py [mode ...]   (default: all modes)
 """
