@@ -15,6 +15,19 @@ the only cost is the halo gather/scatter, which is pure bandwidth
 (~2 copies of the activation) against a >1.5× MXU-utilisation win at the
 target shapes.
 
+MEASURED RESULT (round 5, 2026-08-20, `scripts/exp512.py s2b_blk2_b4 /
+s2b4_blk2_b4`): the win does NOT materialize at the network level —
+512px batch-4 block:2 train steps measure 602.7 ms/step (37.2% MFU) at
+``factor=2`` and 781.3 ms (28.7%) at ``factor=4`` vs 593–598 ms (37.8%)
+for plain convs. The halo gather/scatter bandwidth plus the dx-path
+scatter-add offsets the conv-tiling gain at f=2 and dominates at f=4
+(where the halo is 2/128 of each tile edge). Together with the round-4
+remat/fusion/dropout sweeps this closes the 512px question: 37–38% MFU
+IS the ceiling for this compiler at batch 4, and the production answer
+for throughput remains 256px batch-32 tiles (64.6% MFU) with
+`accumulate_grad_batches`. The op stays available (`s2b_conv=f` on
+UNetModel) as an honest, tested negative result.
+
 Autodiff needs no custom VJP: the transform is pad/slice/reshape, so
 ``jax.vjp`` of the composite yields conv backprops at the SAME
 batch-rich shapes (the dx path scatter-adds the halo overlaps).
